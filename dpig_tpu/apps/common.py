@@ -1,0 +1,36 @@
+"""Shared glue for the model apps (trainer-class equivalents)."""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..ops.pose import render_pose_maps
+
+
+def select_parts(batch_bbox: jax.Array, batch_vis: jax.Array, n: int = 7):
+    """Take the first n of the 37 stored part bboxes (trainer.py:576-578)."""
+    return batch_bbox[:, :n, :], batch_vis[:, :n].astype(jnp.float32)
+
+
+def pose_maps_from_batch(batch: Dict[str, jax.Array], cfg: Config,
+                         key: str = "pose_rcv") -> jax.Array:
+    """Render the 18-ch inflated pose map on-device from raw rcv coords.
+
+    TPU-first replacement for the reference's input-graph scatter+inflate
+    (trainer.py:559-562): ship 54 floats per sample to the device and
+    rasterize there, fused into the step.
+    """
+    return render_pose_maps(batch[key], cfg.img_H, cfg.img_W,
+                            cfg.keypoint_num, radius=4, normalized=False)
+
+
+def l1_loss(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.mean(jnp.abs(a - b))
+
+
+def masked_l1_loss(a: jax.Array, b: jax.Array, mask: jax.Array) -> jax.Array:
+    """PoseMaskLoss (trainer.py:606): mean(|a-b| * mask)."""
+    return jnp.mean(jnp.abs(a - b) * mask)

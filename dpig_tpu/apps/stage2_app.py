@@ -1,0 +1,173 @@
+"""Stage-II appearance samplers (reference model 3 / 103,
+trainer.py:715-867 DPIG_Encoder_subSampleAppNetFgBg_GAN_BodyROI).
+
+Two Gaussian->embedding mappers (FG: 7*32-d out, hidden 512; BG: 128-d out,
+hidden 256) trained adversarially (WGAN + weight clip, 5 critic iters) in
+embedding space against the *frozen* Stage-I encoder's embeddings.
+
+TPU design: the G update and all critic iterations run inside one jitted
+step. The reference pulls a fresh input batch per sess.run (queue
+semantics); here the critic iterations reuse the step's batch but draw
+fresh mapper noise per iteration — same optimization geometry, one
+device-resident batch.
+
+For the Market model the FG and BG samplers train side by side
+(trainer.py:821-845); the DF model 103 has a single 7*32-d sampler
+(trainer.py:1336 G_OUTPUT_DIM=7*32) — select with `split_fg_bg=False`.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import Config
+from ..losses import gan
+from ..models.discriminators import FCDiscriminator
+from ..models.encoders import RoiEncoder, RoiEncoderFgBg, tile_embedding
+from ..models.generator import UAEGenerator
+from ..models.mappers import GaussianMapper, sample_mapper_noise
+from ..train.state import GanState, make_optimizer
+from .common import pose_maps_from_batch, select_parts
+from .stage1_app import Stage1App
+
+GAN_MODE = "wgan"  # trainer.py:720-725
+
+
+class Stage2AppApp:
+    """Trainer bundle for the appearance (FG/BG) samplers."""
+
+    def __init__(self, cfg: Config, split_fg_bg: bool = True):
+        self.cfg = cfg
+        self.split_fg_bg = split_fg_bg
+        self.stage1 = Stage1App(cfg, fg_bg=split_fg_bg and cfg.img_H < 256)
+        self.fg_dim = cfg.roi_part_num * cfg.roi_z_num          # 224
+        self.bg_dim = cfg.roi_z_num * 4                          # 128
+        self.mapper_fg = GaussianMapper(out_dim=self.fg_dim, hidden_num=512)
+        self.mapper_bg = GaussianMapper(out_dim=self.bg_dim, hidden_num=256)
+        self.disc_fg = FCDiscriminator(fc_dim=512, n_layers=3)
+        self.disc_bg = FCDiscriminator(fc_dim=512, n_layers=3)
+
+    # ---------------------------------------------------------------- init
+    def init_state(self, rng: jax.Array, frozen_params=None) -> GanState:
+        """frozen_params: {'Encoder':..., 'ID_AE':...} from Stage-I.
+
+        If None (tests / cold start), a fresh Stage-I init is used.
+        """
+        cfg = self.cfg
+        if frozen_params is None:
+            frozen_params = self.stage1.init_state(rng).g_params
+        r1, r2, r3, r4, rn = jax.random.split(rng, 5)
+
+        def _init(r1, r2, r3, r4, rn):
+            zf = sample_mapper_noise(rn, 2, self.fg_dim)
+            zb = sample_mapper_noise(rn, 2, self.bg_dim)
+            mf = self.mapper_fg.init(r1, zf)
+            mb = self.mapper_bg.init(r2, zb)
+            df = self.disc_fg.init(r3, jnp.zeros((2, self.fg_dim)))
+            db = self.disc_bg.init(r4, jnp.zeros((2, self.bg_dim)))
+            return mf, mb, df, db
+
+        mf, mb, df, db = jax.jit(_init)(r1, r2, r3, r4, rn)
+        g_tx = make_optimizer(GAN_MODE, cfg.g_lr, cfg.lr_update_step)
+        d_tx = make_optimizer(GAN_MODE, cfg.d_lr, cfg.lr_update_step)
+        return GanState.create(
+            g_params={"Gaussian_FC_Fg": mf["params"],
+                      "Gaussian_FC_Bg": mb["params"]},
+            d_params={"Fg_FCDis": df["params"], "Bg_FCDis": db["params"]},
+            g_tx=g_tx, d_tx=d_tx, frozen_params=frozen_params,
+            step=cfg.start_step)
+
+    # ------------------------------------------------------------ helpers
+    def real_embs(self, frozen_params, batch):
+        """Frozen-encoder embeddings, split FG/BG (trainer.py:741-742)."""
+        cfg = self.cfg
+        bbox, vis = select_parts(batch["part_bbox"], batch["part_vis"],
+                                 cfg.roi_part_num)
+        embs = self.stage1._encode(frozen_params["Encoder"], batch["x"],
+                                   batch["mask_r6"], bbox, vis)
+        embs = jax.lax.stop_gradient(embs)
+        return embs[:, :self.fg_dim], embs[:, self.fg_dim:]
+
+    def sample_embs(self, g_params, rng, batch_size):
+        rf, rb = jax.random.split(rng)
+        zf = sample_mapper_noise(rf, batch_size, self.fg_dim)
+        zb = sample_mapper_noise(rb, batch_size, self.bg_dim)
+        fg = self.mapper_fg.apply({"params": g_params["Gaussian_FC_Fg"]}, zf)
+        bg = self.mapper_bg.apply({"params": g_params["Gaussian_FC_Bg"]}, zb)
+        return fg, bg
+
+    # --------------------------------------------------------------- step
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step(self, state: GanState, batch: Dict[str, jax.Array],
+                   rng: jax.Array) -> Tuple[GanState, Dict[str, jax.Array]]:
+        b = batch["x"].shape[0]
+        real_fg, real_bg = self.real_embs(state.frozen_params, batch)
+        rngs = jax.random.split(rng, 2 + 2 * gan.CRITIC_ITERS)
+
+        # ---- G updates (both mappers)
+        def g_loss_fn(g_params, r):
+            fg, bg = self.sample_embs(g_params, r, b)
+            d_fg = self.disc_fg.apply({"params": state.d_params["Fg_FCDis"]}, fg)
+            d_bg = self.disc_bg.apply({"params": state.d_params["Bg_FCDis"]}, bg)
+            gl_fg = gan.g_loss(GAN_MODE, d_fg)
+            gl_bg = gan.g_loss(GAN_MODE, d_bg)
+            return gl_fg + gl_bg, (gl_fg, gl_bg)
+
+        (_, (gl_fg, gl_bg)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.g_params, rngs[0])
+        state = state.apply_g(g_grads)
+
+        # ---- critic iterations (5 for wgan) + weight clipping
+        dl_fg = dl_bg = jnp.float32(0)
+        for i in range(gan.CRITIC_ITERS):
+            fg_fake, bg_fake = self.sample_embs(state.g_params, rngs[2 + i], b)
+            fg_fake = jax.lax.stop_gradient(fg_fake)
+            bg_fake = jax.lax.stop_gradient(bg_fake)
+
+            def d_loss_fn(d_params):
+                dr_fg = self.disc_fg.apply({"params": d_params["Fg_FCDis"]}, real_fg)
+                df_fg = self.disc_fg.apply({"params": d_params["Fg_FCDis"]}, fg_fake)
+                dr_bg = self.disc_bg.apply({"params": d_params["Bg_FCDis"]}, real_bg)
+                df_bg = self.disc_bg.apply({"params": d_params["Bg_FCDis"]}, bg_fake)
+                l_fg = gan.d_loss(GAN_MODE, dr_fg, df_fg)
+                l_bg = gan.d_loss(GAN_MODE, dr_bg, df_bg)
+                return l_fg + l_bg, (l_fg, l_bg)
+
+            (_, (dl_fg, dl_bg)), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(state.d_params)
+            state = state.apply_d(d_grads)
+            state = state.replace(d_params=gan.clip_params(state.d_params))
+
+        state = state.replace(step=state.step + 1)
+        return state, {"g_loss_embs_fg": gl_fg, "g_loss_embs_bg": gl_bg,
+                       "d_loss_embs_fg": dl_fg, "d_loss_embs_bg": dl_bg}
+
+    # ----------------------------------------------------------- sampling
+    @functools.partial(jax.jit, static_argnums=0)
+    def preview_step(self, state: GanState, batch: Dict[str, jax.Array],
+                     rng: jax.Array):
+        """Fix-FG/vary-BG composed preview (trainer.py:779-793).
+
+        First half of the batch shares one FG code with varying BG; second
+        half shares one BG code with varying FG.
+        """
+        cfg = self.cfg
+        b = batch["x"].shape[0]
+        pose = pose_maps_from_batch(batch, cfg)
+        fg, bg = self.sample_embs(state.g_params, rng, b)
+        half = b // 2
+        fix_fg = jnp.tile(fg[:1], (half, 1))
+        vary_fg = fg[half:]
+        fix_bg = jnp.tile(bg[:1], (half, 1))
+        vary_bg = bg[half:]
+        app = jnp.concatenate([
+            jnp.concatenate([fix_fg, vary_fg], axis=0),
+            jnp.concatenate([vary_bg, fix_bg], axis=0)], axis=-1)
+        embs_rep = tile_embedding(app, cfg.img_H, cfg.img_W)
+        g_raw, _ = self.stage1.generator.apply(
+            {"params": state.frozen_params["ID_AE"]}, embs_rep, pose)
+        return jnp.clip((g_raw.astype(jnp.float32) + 1.0) * 127.5, 0.0, 255.0)

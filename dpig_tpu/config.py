@@ -1,0 +1,141 @@
+"""Configuration (mirrors reference config.py:1-102 flag surface).
+
+One dataclass replaces the argparse namespace; `get_config()` still parses
+the same CLI flags (plus TPU-specific extras) so run scripts translate 1:1.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from datetime import datetime
+from typing import Optional
+
+
+def str2bool(v: str) -> bool:
+    return str(v).lower() in ("true", "1")
+
+
+@dataclass
+class Config:
+    # Network (reference config.py:16-27)
+    img_H: int = 128
+    img_W: int = 64
+    conv_hidden_num: int = 128
+    z_num: int = 64
+
+    # Data (config.py:30-36)
+    dataset: str = "Market_train_data"
+    split: str = "train"
+    batch_size: int = 16
+    grayscale: bool = False
+    num_worker: int = 4
+
+    # Training / test (config.py:38-79)
+    is_train: bool = True
+    test_one_by_one: bool = False
+    optimizer: str = "adam"
+    start_step: int = 0
+    ckpt_path: Optional[str] = None
+    pretrained_path: Optional[str] = None
+    pretrained_appSample_path: Optional[str] = None
+    pretrained_poseAE_path: Optional[str] = None
+    pretrained_poseSample_path: Optional[str] = None
+    z_emb_dir: Optional[str] = None
+    max_step: int = 500000
+    lr_update_step: int = 100000
+    L1Loss_weight: float = 20.0
+    d_lr: float = 0.00008
+    g_lr: float = 0.00008
+    beta1: float = 0.5
+    beta2: float = 0.999
+    gamma: float = 0.5
+    lambda_k: float = 0.001
+    model: int = 0
+    D_arch: str = "DCGAN"
+    sample_app: bool = False
+    sample_fg: bool = False
+    sample_bg: bool = False
+    sample_pose: bool = False
+    one_app_per_batch: bool = False
+    interpolate_fg: bool = False
+    interpolate_fg_up: bool = False
+    interpolate_fg_down: bool = False
+    interpolate_bg: bool = False
+    interpolate_pose: bool = False
+    inverse_fg: bool = False
+    inverse_bg: bool = False
+    inverse_pose: bool = False
+
+    # Misc (config.py:81-94)
+    load_path: str = ""
+    log_step: int = 200
+    save_model_secs: int = 1000
+    num_log_samples: int = 3
+    log_level: str = "INFO"
+    log_dir: str = "logs"
+    model_dir: Optional[str] = None
+    data_dir: str = "data"
+    test_data_path: Optional[str] = None
+    sample_per_image: int = 64
+    random_seed: int = 123
+
+    # TPU-native extras (no reference equivalent)
+    compute_dtype: str = "float32"      # 'bfloat16' for the fast path
+    mesh_axis: str = "data"
+    test_batch_num: int = 0             # 0 -> model-specific default
+    keypoint_num: int = 18
+    part_num: int = 37                  # bboxes stored per sample
+    roi_part_num: int = 7               # parts actually encoded (trainer.py:576)
+    roi_z_num: int = 32                 # trainer.py:581 hardcodes 32
+    synthetic_data: bool = False        # run on generated fixtures (no tfrecords)
+
+    # Derived
+    data_path: str = ""
+
+    @property
+    def repeat_num(self) -> int:
+        """log2(H) - 2 (trainer.py:75): 5 at 128px, 6 at 256px."""
+        import math
+        return int(math.log2(self.img_H)) - 2
+
+    def finalize(self) -> "Config":
+        """Resolve model_dir / data_path (reference utils.py:111-141)."""
+        if not self.model_dir:
+            stamp = datetime.now().strftime("%m%d_%H%M%S")
+            self.model_dir = os.path.join(self.log_dir, f"{self.dataset}_{stamp}")
+        if not self.data_path:
+            self.data_path = os.path.join(self.data_dir, self.dataset)
+        return self
+
+    def save(self, path: Optional[str] = None) -> None:
+        """Persist params.json (reference utils.py:145-152)."""
+        assert self.model_dir
+        os.makedirs(self.model_dir, exist_ok=True)
+        path = path or os.path.join(self.model_dir, "params.json")
+        with open(path, "w") as fp:
+            json.dump(dataclasses.asdict(self), fp, indent=4, sort_keys=True)
+
+
+def get_config(argv=None) -> Config:
+    parser = argparse.ArgumentParser()
+    for f in dataclasses.fields(Config):
+        if f.name in ("data_path",):
+            continue
+        typ = f.type if isinstance(f.type, type) else None
+        default = f.default
+        if isinstance(default, bool):
+            parser.add_argument(f"--{f.name}", type=str2bool, default=default)
+        elif default is None:
+            parser.add_argument(f"--{f.name}", type=str, default=None)
+        elif isinstance(default, int):
+            parser.add_argument(f"--{f.name}", type=int, default=default)
+        elif isinstance(default, float):
+            parser.add_argument(f"--{f.name}", type=float, default=default)
+        else:
+            parser.add_argument(f"--{f.name}", type=str, default=default)
+    args, _unknown = parser.parse_known_args(argv)
+    cfg = Config(**{k: v for k, v in vars(args).items()})
+    return cfg.finalize()

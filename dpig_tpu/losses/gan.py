@@ -1,0 +1,92 @@
+"""4-mode GAN losses (reference trainer.py:217-252 `_gan_loss`).
+
+Modes: 'wgan' (+weight clip, done by the train step), 'wgan-gp' (gradient
+penalty via nested jax.grad — no TF double-backward gymnastics), 'dcgan'
+(sigmoid CE), 'lsgan' (least squares).
+
+All functions are pure and jit-safe.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+GP_LAMBDA = 10.0        # wgan_gp.py:97-108
+CRITIC_ITERS = 5        # wgan_gp.py:113
+WGAN_CLIP = 0.01        # trainer.py:126-127
+
+
+def g_loss(mode: str, disc_fake: jax.Array) -> jax.Array:
+    if mode in ("wgan", "wgan-gp"):
+        return -jnp.mean(disc_fake)
+    if mode == "dcgan":
+        # mean sigmoid_CE(logits=fake, labels=1)
+        return jnp.mean(_sigmoid_ce(disc_fake, 1.0))
+    if mode == "lsgan":
+        return jnp.mean((disc_fake - 1.0) ** 2)
+    raise ValueError(f"unknown GAN mode {mode!r}")
+
+
+def d_loss(
+    mode: str,
+    disc_real: jax.Array,
+    disc_fake: jax.Array,
+    *,
+    critic_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
+    real_data: Optional[jax.Array] = None,
+    fake_data: Optional[jax.Array] = None,
+    rng: Optional[jax.Array] = None,
+    gp_lambda: float = GP_LAMBDA,
+) -> jax.Array:
+    if mode == "wgan":
+        return jnp.mean(disc_fake) - jnp.mean(disc_real)
+    if mode == "wgan-gp":
+        loss = jnp.mean(disc_fake) - jnp.mean(disc_real)
+        gp = gradient_penalty(critic_fn, real_data, fake_data, rng)
+        return loss + gp_lambda * gp
+    if mode == "dcgan":
+        loss = jnp.mean(_sigmoid_ce(disc_fake, 0.0))
+        loss += jnp.mean(_sigmoid_ce(disc_real, 1.0))
+        return loss / 2.0
+    if mode == "lsgan":
+        return (jnp.mean((disc_real - 1.0) ** 2) + jnp.mean(disc_fake ** 2)) / 2.0
+    raise ValueError(f"unknown GAN mode {mode!r}")
+
+
+def gradient_penalty(
+    critic_fn: Callable[[jax.Array], jax.Array],
+    real_data: jax.Array,
+    fake_data: jax.Array,
+    rng: jax.Array,
+) -> jax.Array:
+    """WGAN-GP penalty (trainer.py:226-236).
+
+    alpha ~ U[0,1] per sample; interpolate; E[(||dD/dx||_2 - 1)^2].
+    The reference reduces the grad-norm over axis 1 only
+    (reduction_indices=[1], trainer.py:234) — for [B, D] embedding critics
+    that is the full per-sample norm; we generalize to all non-batch axes.
+    """
+    b = real_data.shape[0]
+    alpha = jax.random.uniform(rng, (b,) + (1,) * (real_data.ndim - 1))
+    interp = real_data + alpha * (fake_data - real_data)
+
+    def critic_sum(x):
+        return jnp.sum(critic_fn(x))
+
+    grads = jax.grad(critic_sum)(interp)
+    axes = tuple(range(1, grads.ndim))
+    slopes = jnp.sqrt(jnp.sum(grads ** 2, axis=axes) + 1e-12)
+    return jnp.mean((slopes - 1.0) ** 2)
+
+
+def clip_params(params, bound: float = WGAN_CLIP):
+    """WGAN weight clipping over a (discriminator) param tree."""
+    return jax.tree_util.tree_map(lambda p: jnp.clip(p, -bound, bound), params)
+
+
+def _sigmoid_ce(logits: jax.Array, label: float) -> jax.Array:
+    """Numerically-stable sigmoid cross-entropy with constant labels."""
+    z = jnp.asarray(label, logits.dtype)
+    return jnp.maximum(logits, 0) - logits * z + jnp.log1p(jnp.exp(-jnp.abs(logits)))

@@ -1,0 +1,44 @@
+"""Image normalization / resizing primitives.
+
+Reference semantics: utils.py:102-107 (process/unprocess), utils.py:88-89
+(denorm+clip), utils.py:70-72 (nearest-neighbor upscale).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def process_image(image: jax.Array, mean_pixel: float = 127.5, norm: float = 127.5) -> jax.Array:
+    """uint8-range image -> [-1, 1] floats. (reference utils.py:102-103)"""
+    return (image - mean_pixel) / norm
+
+
+def unprocess_image(image: jax.Array, mean_pixel: float = 127.5, norm: float = 127.5) -> jax.Array:
+    """[-1, 1] floats -> uint8-range. (reference utils.py:106-107)"""
+    return image * norm + mean_pixel
+
+
+def denorm_img(norm: jax.Array) -> jax.Array:
+    """[-1,1] -> [0,255] clipped (reference utils.py:88-89). NHWC only."""
+    return jnp.clip((norm + 1.0) * 127.5, 0.0, 255.0)
+
+
+def upscale_nn(x: jax.Array, scale: int = 2) -> jax.Array:
+    """Nearest-neighbor 2x upsample of an NHWC tensor.
+
+    Matches tf.image.resize_nearest_neighbor for integer scale factors
+    (reference utils.py:61-72). Implemented as reshape+broadcast so XLA
+    lowers it to a cheap layout change instead of a gather.
+    """
+    b, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (b, h, scale, w, scale, c))
+    return x.reshape(b, h * scale, w * scale, c)
+
+
+def avg_pool_2x(x: jax.Array) -> jax.Array:
+    """2x2/2 average pool, SAME padding, NHWC (for MS-SSIM pyramid)."""
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "SAME"
+    ) / 4.0

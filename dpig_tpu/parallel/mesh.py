@@ -1,0 +1,44 @@
+"""Device mesh + sharding helpers.
+
+The reference is single-GPU (wgan_gp.py:114-115 N_GPUS=1); the TPU build is
+mesh-polymorphic from day one: a 1-axis 'data' mesh shards the batch over
+ICI, params are replicated, and XLA inserts the gradient all-reduce when
+jit sees replicated-out params from sharded-in batches.
+
+Multi-host: call `jax.distributed.initialize()` before `make_mesh()` and
+the same code paths run over DCN.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices: Optional[Sequence[Any]] = None, axis: str = DATA_AXIS) -> Mesh:
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
+    """Leading-axis (batch) sharding."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = DATA_AXIS):
+    """Device_put a pytree of [B, ...] arrays with batch sharded on `axis`."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

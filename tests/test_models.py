@@ -1,0 +1,112 @@
+"""Shape/dtype goldens for every network module (SURVEY §4 test plan)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dpig_tpu.models.discriminators import DCGANDiscriminator, FCDiscriminator
+from dpig_tpu.models.encoders import (PlainEncoder, RoiEncoder, RoiEncoderFgBg,
+                                      tile_embedding)
+from dpig_tpu.models.generator import UAEGenerator
+from dpig_tpu.models.mappers import GaussianMapper, sample_mapper_noise
+from dpig_tpu.models.pose_ae import (PoseDecoderFC, PoseEncoderFC,
+                                     assemble_pose_rcv)
+
+KEY = jax.random.PRNGKey(0)
+B, H, W = 2, 32, 16  # small but same repeat structure (repeat=3)
+REPEAT = 3
+HID = 32
+
+
+def test_roi_encoder_fgbg_emb_dims():
+    enc = RoiEncoderFgBg(part_num=7, z_num=32, repeat_num=REPEAT,
+                         hidden_num=HID, roi_size=16)
+    x = jnp.zeros((B, H, W, 3))
+    m = jnp.ones((B, H, W, 1))
+    bbox = jnp.tile(jnp.array([[0, 0, 8, 8]], jnp.int32), (B, 7, 1))[..., :4]
+    vis = jnp.ones((B, 7))
+    vars_ = enc.init(KEY, x, m, bbox, vis)
+    out = enc.apply(vars_, x, m, bbox, vis)
+    # 7 parts * 32 + 4*32 BG = 352 (reference 352-dim embedding)
+    assert out.shape == (B, 7 * 32 + 128)
+
+
+def test_roi_encoder_vis_zeroing():
+    enc = RoiEncoder(part_num=3, z_num=8, repeat_num=2, hidden_num=8,
+                     roi_size=8)
+    x = jnp.ones((B, H, W, 3))
+    bbox = jnp.tile(jnp.array([[2, 2, 10, 10]], jnp.int32), (B, 3, 1))
+    vis = jnp.asarray([[1.0, 0.0, 1.0]] * B)
+    vars_ = enc.init(KEY, x, bbox, vis)
+    out = enc.apply(vars_, x, bbox, vis)
+    assert out.shape == (B, 24)
+    # part 1 features zeroed by visibility
+    np.testing.assert_array_equal(np.asarray(out[:, 8:16]), 0.0)
+    assert np.abs(np.asarray(out[:, :8])).sum() > 0
+
+
+def test_uae_generator_shapes_and_bottleneck():
+    gen = UAEGenerator(out_channels=3, z_num=16, repeat_num=REPEAT,
+                       hidden_num=HID)
+    embs = jnp.zeros((B, 52))
+    x = tile_embedding(embs, H, W)
+    pose = jnp.zeros((B, H, W, 18))
+    vars_ = gen.init(KEY, x, pose)
+    out, z = gen.apply(vars_, x, pose)
+    assert out.shape == (B, H, W, 3)
+    assert z.shape == (B, 16)
+
+
+def test_dcgan_discriminator_output():
+    d = DCGANDiscriminator(dim=16, n_stages=4, mode="dcgan")
+    x = jnp.zeros((B, 128, 64, 3))
+    vars_ = d.init(KEY, x, train=True)
+    out, _ = d.apply(vars_, x, train=True, mutable=["batch_stats"])
+    assert out.shape == (B,)
+
+
+def test_dcgan_discriminator_wgan_gp_has_no_batchstats():
+    d = DCGANDiscriminator(dim=8, n_stages=4, mode="wgan-gp")
+    vars_ = d.init(KEY, jnp.zeros((B, 128, 64, 3)), train=True)
+    assert "batch_stats" not in vars_
+
+
+def test_fc_discriminator():
+    d = FCDiscriminator(fc_dim=64, n_layers=3)
+    vars_ = d.init(KEY, jnp.zeros((B, 352)))
+    out = d.apply(vars_, jnp.zeros((B, 352)))
+    assert out.shape == (B,)
+
+
+def test_pose_ae_roundtrip_shapes():
+    enc = PoseEncoderFC(z_num=32, repeat_num=4, hidden_num=64)
+    dec = PoseDecoderFC(keypoint_num=18, repeat_num=4, hidden_num=64)
+    pose_flat = jnp.zeros((B, 54))
+    ev = enc.init(KEY, pose_flat)
+    z = enc.apply(ev, pose_flat)
+    assert z.shape == (B, 32)
+    dv = dec.init(KEY, z)
+    coords, vis = dec.apply(dv, z)
+    assert coords.shape == (B, 36) and vis.shape == (B, 18)
+    # STE visibility is exactly binary
+    v = np.asarray(vis)
+    assert set(np.unique(v)).issubset({0.0, 1.0})
+    rcv = assemble_pose_rcv(coords, vis)
+    assert rcv.shape == (B, 18, 3)
+
+
+def test_gaussian_mapper():
+    m = GaussianMapper(out_dim=224, repeat_num=4, hidden_num=64)
+    z = sample_mapper_noise(KEY, B, 224)
+    assert z.shape == (B, 224)
+    vars_ = m.init(KEY, z)
+    out = m.apply(vars_, z)
+    assert out.shape == (B, 224)
+
+
+def test_plain_encoder():
+    enc = PlainEncoder(z_num=16, repeat_num=REPEAT, hidden_num=HID)
+    x = jnp.zeros((B, H, W, 3))
+    vars_ = enc.init(KEY, x)
+    out = enc.apply(vars_, x)
+    assert out.shape == (B, 16)
