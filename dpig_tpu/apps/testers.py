@@ -1,0 +1,340 @@
+"""Inference testers (reference tester.py models 11/12/13, plus the 256
+variants 1001/1002 via the same classes at 256x256).
+
+All compose the 4 pretrained subnets (train/checkpoint.py) and write the
+PNG directory trees that score.py / score_mask.py consume.
+
+Reference quirk (replicated as an option): in tester.py the PoseDecoder
+always decodes `pose_embs` (the AE-encoding of the *real* input pose) —
+tester.py:93-95/341-343 — so `--sample_pose=true` yields AE
+*reconstructions*, and the PoseGaussian output G_pose_embs is built but
+never decoded. `pose_source` selects:
+  'real'          — inflate the dataset pose (reference sample_pose=False)
+  'reconstructed' — decode(pose_embs)        (reference sample_pose=True)
+  'sampled'       — decode(PoseGaussian(z))  (the paper's intended sampler,
+                    matching the model-4 training preview, trainer.py:894-904)
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from PIL import Image
+
+from ..config import Config
+from ..eval.metrics import ssim_images
+from ..models.discriminators import DCGANDiscriminator
+from ..models.encoders import tile_embedding
+from ..models.mappers import GaussianMapper, sample_mapper_noise
+from ..ops.pose import pose_rcv_normalize, render_pose_maps
+from ..train import checkpoint as ckpt
+from ..utils.viz import pose_to_gray, save_image
+from .common import select_parts
+from .stage1_app import Stage1App
+from .stage1_pose import Stage1PoseApp
+from .stage2_app import Stage2AppApp
+from .stage2_pose import POSE_Z
+
+
+def _save_dir_tree(root: str, names) -> Dict[str, str]:
+    dirs = {}
+    for n in names:
+        d = os.path.join(root, n)
+        os.makedirs(d, exist_ok=True)
+        dirs[n] = d
+    return dirs
+
+
+def _save_batch_pngs(dirs: Dict[str, str], arrays: Dict[str, np.ndarray],
+                     start_idx: int) -> None:
+    for name, arr in arrays.items():
+        for j in range(arr.shape[0]):
+            img = np.clip(arr[j], 0, 255).astype(np.uint8)
+            if img.ndim == 3 and img.shape[-1] == 1:
+                img = img[..., 0]
+            Image.fromarray(img).save(
+                os.path.join(dirs[name], f"{start_idx + j:05d}.png"))
+
+
+class _TesterBase:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.stage1 = Stage1App(cfg, fg_bg=cfg.img_H < 256)
+        self.params = self._restore_params()
+
+    def _restore_params(self):
+        cfg = self.cfg
+        merged = ckpt.compose_pretrained(cfg)
+        missing = self.REQUIRED - set(merged)
+        if missing:
+            # Cold start (tests): init fresh nets for the missing parts.
+            merged = {**self._fresh_params(), **merged}
+        return merged
+
+    def _fresh_params(self):
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(cfg.random_seed)
+        params = dict(self.stage1.init_state(rng).g_params)
+        pose_ae = Stage1PoseApp(cfg)
+        params.update(pose_ae.init_state(rng).g_params)
+        s2 = Stage2AppApp(cfg)
+        st = s2.init_state(rng, frozen_params=params)
+        params.update(st.g_params)
+        mapper = GaussianMapper(out_dim=POSE_Z, hidden_num=512)
+        params["PoseGaussian"] = jax.jit(mapper.init)(
+            rng, jnp.zeros((2, POSE_Z)))["params"]
+        disc = self.stage1.disc
+        dv = jax.jit(functools.partial(disc.init, train=True))(
+            rng, jnp.zeros((2, cfg.img_H, cfg.img_W, 3)))
+        params["Discriminator"] = dv["params"]
+        params["Discriminator_stats"] = dv.get("batch_stats", {})
+        return params
+
+    # shared forward pieces -------------------------------------------------
+    def _encode_app(self, batch):
+        cfg = self.cfg
+        bbox, vis = select_parts(batch["part_bbox"], batch["part_vis"],
+                                 cfg.roi_part_num)
+        return self.stage1._encode(self.params["Encoder"], batch["x"],
+                                   batch["mask_r6"], bbox, vis)
+
+    def _generate(self, embs, pose_maps):
+        cfg = self.cfg
+        embs_rep = tile_embedding(embs, cfg.img_H, cfg.img_W)
+        g_raw, _ = self.stage1.generator.apply(
+            {"params": self.params["ID_AE"]}, embs_rep, pose_maps)
+        return g_raw.astype(jnp.float32)
+
+    def _disc_score(self, g_raw):
+        if "Discriminator" not in self.params:
+            return jnp.zeros((g_raw.shape[0],))
+        out, _ = self.stage1.disc.apply(
+            {"params": self.params["Discriminator"],
+             "batch_stats": self.params.get("Discriminator_stats", {})},
+            g_raw, train=True, mutable=["batch_stats"])
+        return out.astype(jnp.float32)
+
+    def _pose_maps(self, batch, rng, pose_source: str):
+        """Returns (pose_maps [-1,1] inflated, pose_rcv used)."""
+        cfg = self.cfg
+        pose_ae = Stage1PoseApp(cfg)
+        if pose_source == "real":
+            rcv = batch["pose_rcv"]
+            maps = render_pose_maps(rcv, cfg.img_H, cfg.img_W,
+                                    cfg.keypoint_num, radius=4,
+                                    normalized=False)
+            return maps, rcv
+        if pose_source == "reconstructed":
+            rcv_norm = pose_rcv_normalize(batch["pose_rcv"], cfg.img_H,
+                                          cfg.img_W)
+            flat = rcv_norm.reshape(rcv_norm.shape[0], -1)
+            z = pose_ae.encoder.apply(
+                {"params": self.params["PoseAE"]["G_Pose_Encoder"]}, flat)
+        elif pose_source == "sampled":
+            mapper = GaussianMapper(out_dim=POSE_Z, hidden_num=512)
+            noise = sample_mapper_noise(rng, batch["pose_rcv"].shape[0],
+                                        POSE_Z)
+            z = mapper.apply({"params": self.params["PoseGaussian"]}, noise)
+        else:
+            raise ValueError(pose_source)
+        rcv, _ = pose_ae.decode_pose({"PoseAE": self.params["PoseAE"]}, z)
+        maps = render_pose_maps(rcv, cfg.img_H, cfg.img_W, cfg.keypoint_num,
+                                radius=4, normalized=True)
+        return maps, rcv
+
+
+class FullSamplingTester(_TesterBase):
+    """Model 11 (tester.py:256-416): sample FG/BG appearance (+ pose),
+    generate, write PNG trees + discriminator scores."""
+
+    REQUIRED = {"Encoder", "ID_AE", "PoseAE", "PoseGaussian",
+                "Gaussian_FC_Fg", "Gaussian_FC_Bg"}
+    DEFAULT_BATCHES = 751  # tester.py:311
+
+    def __init__(self, cfg: Config):
+        super().__init__(cfg)
+        self.fg_dim = cfg.roi_part_num * cfg.roi_z_num
+        self.mapper_fg = GaussianMapper(out_dim=self.fg_dim, hidden_num=512)
+        self.mapper_bg = GaussianMapper(out_dim=cfg.roi_z_num * 4,
+                                        hidden_num=256)
+
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def sample_step(self, batch, rng, pose_source: str = "real"):
+        cfg = self.cfg
+        b = batch["x"].shape[0]
+        r_fg, r_bg, r_pose = jax.random.split(rng, 3)
+        embs = self._encode_app(batch)
+        fg_embs, bg_embs = embs[:, :self.fg_dim], embs[:, self.fg_dim:]
+
+        app_fg = self.mapper_fg.apply(
+            {"params": self.params["Gaussian_FC_Fg"]},
+            sample_mapper_noise(r_fg, b, self.fg_dim))
+        app_bg = self.mapper_bg.apply(
+            {"params": self.params["Gaussian_FC_Bg"]},
+            sample_mapper_noise(r_bg, b, cfg.roi_z_num * 4))
+
+        if cfg.one_app_per_batch:  # fix FG, vary BG (tester.py:381-387)
+            app = jnp.concatenate([jnp.tile(app_fg[:1], (b, 1)), app_bg], -1)
+        else:
+            app = jnp.concatenate([app_fg, app_bg], -1)
+        if cfg.sample_app:
+            embs = app
+        elif cfg.one_app_per_batch:  # real FG of sample 0, real BGs
+            embs = jnp.concatenate(
+                [jnp.tile(fg_embs[:1], (b, 1)), bg_embs], -1)
+
+        pose_maps, rcv = self._pose_maps(batch, r_pose, pose_source)
+        g_raw = self._generate(embs, pose_maps)
+        score = self._disc_score(g_raw)
+        return jnp.clip((g_raw + 1) * 127.5, 0, 255), pose_maps, score
+
+    def run(self, loader: Iterator, test_batch_num: Optional[int] = None,
+            pose_source: str = "real") -> str:
+        cfg = self.cfg
+        n = test_batch_num or cfg.test_batch_num or self.DEFAULT_BATCHES
+        out_root = os.path.join(
+            cfg.model_dir,
+            f"test_result_SampleApp{cfg.sample_app}Pose-{pose_source}"
+            f"_{n}x{cfg.batch_size}")
+        dirs = _save_dir_tree(out_root, ["x", "G", "pose"])
+        rng = jax.random.PRNGKey(0)  # tf.set_random_seed(0), tester.py:372
+        for i in range(n):
+            batch = next(loader)
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            rng, sub = jax.random.split(rng)
+            g, pose_maps, score = self.sample_step(jb, sub, pose_source)
+            _save_batch_pngs(dirs, {
+                "x": (np.asarray(batch["x"]) + 1) * 127.5,
+                "G": np.asarray(g),
+                "pose": pose_to_gray(np.asarray(pose_maps)),
+            }, i * cfg.batch_size)
+        return out_root
+
+
+class FactorSamplingTester(_TesterBase):
+    """Model 13 / 1002 (tester.py:419-613): independently toggle
+    sample_fg / sample_bg / sample_pose; non-sampled factors are fixed to
+    sample 0's embedding across the batch."""
+
+    REQUIRED = {"Encoder", "ID_AE", "PoseAE", "PoseGaussian",
+                "Gaussian_FC_Fg", "Gaussian_FC_Bg"}
+    DEFAULT_BATCHES = 400  # tester.py:475
+
+    def __init__(self, cfg: Config):
+        super().__init__(cfg)
+        self.fg_dim = cfg.roi_part_num * cfg.roi_z_num
+        self.mapper_fg = GaussianMapper(out_dim=self.fg_dim, hidden_num=512)
+        self.mapper_bg = GaussianMapper(out_dim=cfg.roi_z_num * 4,
+                                        hidden_num=256)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def sample_step(self, batch, rng):
+        cfg = self.cfg
+        b = batch["x"].shape[0]
+        r_fg, r_bg, r_pose = jax.random.split(rng, 3)
+        embs = self._encode_app(batch)
+        fg_embs, bg_embs = embs[:, :self.fg_dim], embs[:, self.fg_dim:]
+
+        if cfg.sample_fg:
+            fg = self.mapper_fg.apply(
+                {"params": self.params["Gaussian_FC_Fg"]},
+                sample_mapper_noise(r_fg, b, self.fg_dim))
+        else:
+            fg = jnp.tile(fg_embs[:1], (b, 1))  # tester.py:541-543
+        if cfg.sample_bg:
+            bg = self.mapper_bg.apply(
+                {"params": self.params["Gaussian_FC_Bg"]},
+                sample_mapper_noise(r_bg, b, cfg.roi_z_num * 4))
+        else:
+            bg = jnp.tile(bg_embs[:1], (b, 1))
+        embs = jnp.concatenate([fg, bg], -1)
+
+        if cfg.sample_pose:
+            pose_maps, _ = self._pose_maps(batch, r_pose, "reconstructed")
+        else:
+            # one real pose tiled across the batch (tester.py:506-508)
+            rcv_norm = pose_rcv_normalize(batch["pose_rcv"], cfg.img_H,
+                                          cfg.img_W)
+            rcv_one = jnp.tile(rcv_norm[:1], (b, 1, 1))
+            pose_maps = render_pose_maps(rcv_one, cfg.img_H, cfg.img_W,
+                                         cfg.keypoint_num, radius=4,
+                                         normalized=True)
+        g_raw = self._generate(embs, pose_maps)
+        score = self._disc_score(g_raw)
+        return jnp.clip((g_raw + 1) * 127.5, 0, 255), pose_maps, score
+
+    def run(self, loader: Iterator, test_batch_num: Optional[int] = None) -> str:
+        cfg = self.cfg
+        n = test_batch_num or cfg.test_batch_num or self.DEFAULT_BATCHES
+        out_root = os.path.join(
+            cfg.model_dir,
+            f"test_result_ROI7_SampleFg{cfg.sample_fg}SampleBg{cfg.sample_bg}"
+            f"SamplePose{cfg.sample_pose}_pretrain_{n}x{cfg.batch_size}")
+        dirs = _save_dir_tree(out_root, ["x", "G", "pose"])
+        rng = jax.random.PRNGKey(0)
+        for i in range(n):
+            batch = next(loader)
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            rng, sub = jax.random.split(rng)
+            g, pose_maps, score = self.sample_step(jb, sub)
+            _save_batch_pngs(dirs, {
+                "x": (np.asarray(batch["x"]) + 1) * 127.5,
+                "G": np.asarray(g),
+                "pose": pose_to_gray(np.asarray(pose_maps)),
+            }, i * cfg.batch_size)
+        return out_root
+
+
+class ConditionalTransferTester(_TesterBase):
+    """Model 12 / 1001 (tester.py:616-767): PG2-style pose transfer —
+    source appearance + target pose -> image; writes the directory tree
+    score.py consumes (x, x_target, G, pose, pose_target, mask,
+    mask_target)."""
+
+    REQUIRED = {"Encoder", "ID_AE"}
+    DEFAULT_BATCHES = 600  # tester.py:650
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def transfer_step(self, batch):
+        cfg = self.cfg
+        embs = self._encode_app(batch)
+        pose_t = render_pose_maps(batch["pose_rcv_target"], cfg.img_H,
+                                  cfg.img_W, cfg.keypoint_num, radius=4,
+                                  normalized=False)
+        g_raw = self._generate(embs, pose_t)
+        score = self._disc_score(g_raw)
+        return jnp.clip((g_raw + 1) * 127.5, 0, 255), pose_t, score
+
+    def run(self, loader: Iterator, test_batch_num: Optional[int] = None) -> str:
+        cfg = self.cfg
+        n = test_batch_num or cfg.test_batch_num or self.DEFAULT_BATCHES
+        out_root = os.path.join(cfg.model_dir, "test_result")
+        dirs = _save_dir_tree(out_root, ["x", "x_target", "G", "pose",
+                                         "pose_target", "mask", "mask_target"])
+        ssims = []
+        for i in range(n):
+            batch = next(loader)
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            g, pose_t, score = self.transfer_step(jb)
+            g = np.asarray(g)
+            pose_s = render_pose_maps(jb["pose_rcv"], cfg.img_H, cfg.img_W,
+                                      cfg.keypoint_num, radius=4,
+                                      normalized=False)
+            _save_batch_pngs(dirs, {
+                "x": (np.asarray(batch["x"]) + 1) * 127.5,
+                "x_target": (np.asarray(batch["x_target"]) + 1) * 127.5,
+                "G": g,
+                "pose": pose_to_gray(np.asarray(pose_s)),
+                "pose_target": pose_to_gray(np.asarray(pose_t)),
+                "mask": np.asarray(batch["mask_r4"]) * 255.0,
+                "mask_target": np.asarray(batch["mask_r4_target"]) * 255.0,
+            }, i * cfg.batch_size)
+            ssims.extend(ssim_images(
+                g, (np.asarray(batch["x_target"]) + 1) * 127.5))
+        print(f"[*] transfer SSIM vs x_target: {np.mean(ssims):.4f} "
+              f"over {len(ssims)} images")
+        return out_root

@@ -1,0 +1,141 @@
+"""TFRecord pair-dataset reader (reference datasets/market1501.py:50-162,
+datasets/deepfashion.py:50-171 + trainer.py:537-564 input pipeline).
+
+Parses the published tfrecord schema into numpy batch dicts:
+  x, x_target              [B,H,W,3] float32 in [-1,1]  (jpeg -> PIL)
+  pose_rcv(_target)        [B,18,3]  float32 raw pixel coords
+  mask_r4/r6(_target)      [B,H,W,1] float32 {0,1}
+  part_bbox(_target)       [B,37,4]  int32
+  part_vis(_target)        [B,37]    int32
+
+Pose maps are NOT rendered here — they rasterize on-device inside the
+jitted step (see dpig_tpu/ops/pose.py), so the host->device transfer per
+sample is ~54 floats instead of a 147k-element map.
+
+Determinism: test iteration is single-stream file order (the reference
+forces num_threads=1 at test, trainer.py:108-110); training uses a
+shuffle buffer with a seeded RNG.
+"""
+from __future__ import annotations
+
+import io
+import os
+import pickle
+import random
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+from PIL import Image
+
+from . import tfrecord
+from .proto import example_pb2 as pb
+
+# mask_a fills the batch's primary "mask_r6" slot (the mask the trainers
+# consume): r6 for Market (trainer.py:548-549), r4 for DF
+# (trainer_256.py:240-247 reads pose_mask_r4 as `self.mask`).
+MARKET_KEYS = dict(mask_b="pose_mask_r4", mask_a="pose_mask_r6")
+DF_KEYS = dict(mask_b="pose_mask_r8", mask_a="pose_mask_r4")
+
+
+def _feat(ex, name):
+    return ex.features.feature[name]
+
+
+def parse_example(record: bytes, img_h: int, img_w: int, part_num: int = 37,
+                  keypoint_num: int = 18, mask_a: str = "pose_mask_r6",
+                  mask_b: str = "pose_mask_r4") -> Dict[str, np.ndarray]:
+    """One tfrecord Example -> numpy sample dict (un-batched)."""
+    ex = pb.Example.FromString(record)
+    out: Dict[str, np.ndarray] = {}
+    for suffix, tag in (("_0", ""), ("_1", "_target")):
+        raw = _feat(ex, f"image_raw{suffix}").bytes_list.value[0]
+        img = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"),
+                         np.float32)
+        out[f"x{tag}"] = img / 127.5 - 1.0
+        rcv = np.asarray(_feat(ex, f"pose_peaks{suffix}_rcv").float_list.value,
+                         np.float32).reshape(keypoint_num, 3)
+        out[f"pose_rcv{tag}"] = rcv
+        for store, key in (("mask_r6", mask_a), ("mask_r4", mask_b)):
+            vals = _feat(ex, f"{key}{suffix}").int64_list.value
+            out[f"{store}{tag}"] = np.asarray(vals, np.float32).reshape(
+                img_h, img_w, 1)
+        out[f"part_bbox{tag}"] = np.asarray(
+            _feat(ex, f"part_bbox{suffix}").int64_list.value,
+            np.int32).reshape(part_num, 4)
+        out[f"part_vis{tag}"] = np.asarray(
+            _feat(ex, f"part_vis{suffix}").int64_list.value, np.int32)
+    return out
+
+
+def iter_examples(shards: List[str], img_h: int, img_w: int,
+                  mask_keys: Dict[str, str], part_num: int = 37,
+                  repeat: bool = False) -> Iterator[Dict[str, np.ndarray]]:
+    while True:
+        for shard in shards:
+            for rec in tfrecord.read_records(shard):
+                yield parse_example(rec, img_h, img_w, part_num=part_num,
+                                    mask_a=mask_keys["mask_a"],
+                                    mask_b=mask_keys["mask_b"])
+        if not repeat:
+            return
+
+
+class TFRecordPairLoader:
+    """Batched iterator over a DPIG pair dataset directory.
+
+    dataset_dir layout mirrors the published bundles:
+      <dir>/<name>_<split>_*.tfrecord  +  pn_pairs_num_<split>.p
+    """
+
+    def __init__(self, dataset_dir: str, split: str, batch_size: int,
+                 img_h: int, img_w: int, dataset: str = "market",
+                 shuffle: bool = True, seed: int = 0,
+                 shuffle_buffer: int = 512):
+        self.dataset_dir = dataset_dir
+        self.batch_size = batch_size
+        self.img_h, self.img_w = img_h, img_w
+        self.mask_keys = MARKET_KEYS if "market" in dataset.lower() else DF_KEYS
+        self.shuffle = shuffle
+        self._rng = random.Random(seed)
+        self._buffer: List[Dict[str, np.ndarray]] = []
+        self._buffer_size = shuffle_buffer if shuffle else 0
+
+        shards = [os.path.join(dataset_dir, f) for f in
+                  sorted(os.listdir(dataset_dir)) if ".tfrecord" in f
+                  and split in f]
+        if not shards:
+            raise FileNotFoundError(
+                f"no *{split}*.tfrecord shards in {dataset_dir}")
+        self.shards = shards
+        self.num_samples = self._load_pair_count(split)
+        self._it = iter_examples(shards, img_h, img_w, self.mask_keys,
+                                 repeat=shuffle)
+
+    def _load_pair_count(self, split: str) -> Optional[int]:
+        p = os.path.join(self.dataset_dir, f"pn_pairs_num_{split}.p")
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                # py2 pickle (reference datasets/market1501.py:150-153)
+                return int(pickle.load(f, encoding="latin1"))
+        return None
+
+    def _next_sample(self) -> Dict[str, np.ndarray]:
+        if not self.shuffle:
+            return next(self._it)
+        while len(self._buffer) < self._buffer_size:
+            try:
+                self._buffer.append(next(self._it))
+            except StopIteration:
+                break
+        if not self._buffer:
+            raise StopIteration
+        idx = self._rng.randrange(len(self._buffer))
+        self._buffer[idx], self._buffer[-1] = self._buffer[-1], self._buffer[idx]
+        return self._buffer.pop()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> Dict[str, np.ndarray]:
+        samples = [self._next_sample() for _ in range(self.batch_size)]
+        return {k: np.stack([s[k] for s in samples]) for k in samples[0]}

@@ -1,0 +1,122 @@
+"""Training harness — the reference's train() loop machinery
+(trainer.py:326-366): fixed-batch previews, periodic metrics logging,
+LR schedule (inside the optax schedule), periodic checkpoints, resume.
+
+Observability: metrics stream to `<model_dir>/metrics.jsonl` (+ stdout)
+and previews to PNG grids with SSIM embedded in the filename
+(trainer.py:522-524). No TensorBoard dependency.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import numpy as np
+import jax
+
+from ..config import Config
+from ..eval.metrics import ssim_images
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..utils.viz import pose_to_gray, save_image
+from . import checkpoint as ckpt
+
+
+class Trainer:
+    """Drives any app bundle exposing init_state/train_step (+ previews)."""
+
+    def __init__(self, cfg: Config, app: Any, loader: Iterator[Dict[str, np.ndarray]],
+                 use_mesh: bool = True):
+        self.cfg = cfg
+        self.app = app
+        self.loader = loader
+        self.mesh = make_mesh() if use_mesh else None
+        os.makedirs(cfg.model_dir, exist_ok=True)
+        self._metrics_f = open(os.path.join(cfg.model_dir, "metrics.jsonl"), "a")
+
+    # ------------------------------------------------------------- state
+    def init_state(self, rng: jax.Array, frozen_params=None):
+        if frozen_params is not None:
+            state = self.app.init_state(rng, frozen_params=frozen_params)
+        else:
+            state = self.app.init_state(rng)
+        if self.cfg.ckpt_path:
+            state = ckpt.restore_into_state(self.cfg.ckpt_path, state)
+        if self.mesh is not None:
+            state = replicate(state, self.mesh)
+        return state
+
+    # --------------------------------------------------------------- log
+    def log_metrics(self, step: int, metrics: Dict[str, Any]) -> None:
+        rec = {"step": step,
+               **{k: float(v) for k, v in metrics.items()}}
+        self._metrics_f.write(json.dumps(rec) + "\n")
+        self._metrics_f.flush()
+        print(f"[{step}] " + " ".join(f"{k}={v:.4f}" for k, v in rec.items()
+                                      if k != "step"), flush=True)
+
+    # ------------------------------------------------------------ loop
+    def train(self, rng: Optional[jax.Array] = None, frozen_params=None,
+              preview_fn: Optional[Callable] = None):
+        cfg = self.cfg
+        rng = rng if rng is not None else jax.random.PRNGKey(cfg.random_seed)
+        rng, init_rng = jax.random.split(rng)
+        state = self.init_state(init_rng, frozen_params)
+
+        fixed_batch = next(self.loader)
+        self._save_fixed_previews(fixed_batch)
+
+        start = int(state.step)
+        t_last = time.time()
+        for step in range(start, cfg.max_step):
+            batch = next(self.loader)
+            if self.mesh is not None:
+                batch = shard_batch(batch, self.mesh)
+            rng, sub = jax.random.split(rng)
+            state, metrics = self.app.train_step(state, batch, sub)
+
+            if step == 0 or step % cfg.log_step == cfg.log_step - 1:
+                jax.block_until_ready(metrics)
+                now = time.time()
+                ips = cfg.batch_size * cfg.log_step / max(now - t_last, 1e-9)
+                t_last = now
+                self.log_metrics(step, {**metrics, "imgs_per_sec": ips})
+
+            if preview_fn is not None and (
+                    step == 0 or step % (cfg.log_step * 3) == cfg.log_step * 3 - 1):
+                rng, prng = jax.random.split(rng)
+                preview_fn(state, fixed_batch, prng, step)
+
+            if step % (cfg.log_step * 30) == cfg.log_step * 30 - 1:
+                ckpt.save_checkpoint(cfg.model_dir, step, state)
+
+        ckpt.save_checkpoint(cfg.model_dir, cfg.max_step, state)
+        return state
+
+    # ------------------------------------------------------- previews
+    def _save_fixed_previews(self, batch: Dict[str, np.ndarray]) -> None:
+        d = self.cfg.model_dir
+        from ..ops.pose import render_pose_maps
+        x = (np.asarray(batch["x"]) + 1.0) * 127.5
+        save_image(x, f"{d}/x_fixed.png")
+        if "x_target" in batch:
+            save_image((np.asarray(batch["x_target"]) + 1.0) * 127.5,
+                       f"{d}/x_target_fixed.png")
+        pose = np.asarray(render_pose_maps(
+            batch["pose_rcv"], self.cfg.img_H, self.cfg.img_W,
+            self.cfg.keypoint_num, radius=4, normalized=False))
+        save_image(pose_to_gray(pose), f"{d}/pose_fixed.png")
+        if "mask_r6" in batch:
+            save_image(np.asarray(batch["mask_r6"]) * 255.0, f"{d}/mask_fixed.png")
+
+    def preview_with_ssim(self, images_0_255: np.ndarray,
+                          x_ref: np.ndarray, step: int, tag: str = "G") -> str:
+        """Save a preview grid with mean grayscale SSIM vs x in the filename."""
+        ssim_mean = float(np.mean(ssim_images(
+            images_0_255, (x_ref + 1.0) * 127.5)))
+        path = os.path.join(self.cfg.model_dir,
+                            f"{step}_{tag}_ssim{ssim_mean:.4f}.png")
+        save_image(images_0_255, path)
+        print(f"[*] Samples saved: {path}", flush=True)
+        return path

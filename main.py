@@ -1,0 +1,129 @@
+"""CLI dispatcher (reference main.py:12-90): integer --model selects the
+trainer/tester app.
+
+  Market 128x64:  1 Stage-I appearance | 2 pose AE | 3 app samplers
+                  | 4 pose sampler | 11 full sampling | 12 pose transfer
+                  | 13 per-factor sampling
+  DeepFashion 256x256: 101/102/103/104 training | 1001 transfer
+                  | 1002 factor sampling
+
+Data: real tfrecords from --data_dir/--dataset, or --synthetic_data=true.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+
+from dpig_tpu.config import Config, get_config
+from dpig_tpu.data.synthetic import SyntheticLoader
+
+
+def make_loader(cfg: Config):
+    if cfg.synthetic_data:
+        return SyntheticLoader(cfg.batch_size, cfg.img_H, cfg.img_W,
+                               seed=cfg.random_seed)
+    from dpig_tpu.data.loader import TFRecordPairLoader
+    return TFRecordPairLoader(
+        cfg.data_path, cfg.split if cfg.is_train else "test",
+        cfg.batch_size, cfg.img_H, cfg.img_W, dataset=cfg.dataset,
+        shuffle=cfg.is_train, seed=cfg.random_seed)
+
+
+def train_model(cfg: Config) -> None:
+    from dpig_tpu.train.harness import Trainer
+    from dpig_tpu.train import checkpoint as ckpt
+
+    model = cfg.model
+    loader = make_loader(cfg)
+    frozen = None
+
+    if model in (1, 101):
+        from dpig_tpu.apps.stage1_app import Stage1App
+        app = Stage1App(cfg, fg_bg=model == 1)
+        trainer = Trainer(cfg, app, loader)
+
+        def preview(state, batch, rng, step):
+            import jax.numpy as jnp
+            from dpig_tpu.apps.common import pose_maps_from_batch, select_parts
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            pose = pose_maps_from_batch(jb, cfg)
+            bbox, vis = select_parts(jb["part_bbox"], jb["part_vis"],
+                                     cfg.roi_part_num)
+            imgs = app.generate_step(state.g_params, jb["x"], pose,
+                                     jb["mask_r6"], bbox, vis)
+            trainer.preview_with_ssim(np.asarray(imgs), batch["x"], step)
+
+        trainer.train(preview_fn=preview)
+
+    elif model in (2, 102):
+        from dpig_tpu.apps.stage1_pose import Stage1PoseApp
+        app = Stage1PoseApp(cfg)
+        Trainer(cfg, app, loader).train()
+
+    elif model in (3, 103):
+        from dpig_tpu.apps.stage2_app import Stage2AppApp
+        app = Stage2AppApp(cfg, split_fg_bg=model == 3)
+        if cfg.pretrained_path:
+            frozen = ckpt.restore_subtrees(cfg.pretrained_path,
+                                           ["Encoder", "ID_AE"])
+        trainer = Trainer(cfg, app, loader)
+
+        def preview(state, batch, rng, step):
+            import jax.numpy as jnp
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            imgs = app.preview_step(state, jb, rng)
+            trainer.preview_with_ssim(np.asarray(imgs), batch["x"], step)
+
+        trainer.train(frozen_params=frozen, preview_fn=preview)
+
+    elif model in (4, 104):
+        from dpig_tpu.apps.stage2_pose import Stage2PoseApp
+        app = Stage2PoseApp(cfg)
+        frozen = {}
+        if cfg.pretrained_poseAE_path:
+            frozen.update(ckpt.restore_subtrees(cfg.pretrained_poseAE_path,
+                                                ["PoseAE"]))
+        if cfg.pretrained_path:
+            frozen.update(ckpt.restore_subtrees(cfg.pretrained_path,
+                                                ["Encoder", "ID_AE"]))
+        trainer = Trainer(cfg, app, loader)
+
+        def preview(state, batch, rng, step):
+            import jax.numpy as jnp
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            imgs = app.preview_step(state, jb, rng)
+            trainer.preview_with_ssim(np.asarray(imgs), batch["x"], step)
+
+        trainer.train(frozen_params=frozen or None, preview_fn=preview)
+
+    else:
+        raise ValueError(f"unknown training model {model}")
+
+
+def test_model(cfg: Config) -> None:
+    from dpig_tpu.apps import testers
+
+    model = cfg.model
+    loader = make_loader(cfg)
+    if model in (11,):
+        testers.FullSamplingTester(cfg).run(loader)
+    elif model in (12, 1001):
+        testers.ConditionalTransferTester(cfg).run(loader)
+    elif model in (13, 1002):
+        testers.FactorSamplingTester(cfg).run(loader)
+    else:
+        raise ValueError(f"unknown test model {model}")
+
+
+def main() -> None:
+    cfg = get_config()
+    cfg.save()
+    print(f"[*] MODEL dir: {cfg.model_dir}")
+    if cfg.model in (1, 2, 3, 4, 101, 102, 103, 104):
+        train_model(cfg)
+    else:
+        test_model(cfg)
+
+
+if __name__ == "__main__":
+    main()
