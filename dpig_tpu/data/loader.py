@@ -57,6 +57,13 @@ def parse_example(record: bytes, img_h: int, img_w: int, part_num: int = 37,
         out[f"pose_rcv{tag}"] = rcv
         for store, key in (("mask_r6", mask_a), ("mask_r4", mask_b)):
             vals = _feat(ex, f"{key}{suffix}").int64_list.value
+            if len(vals) != img_h * img_w:
+                raise KeyError(
+                    f"feature {key}{suffix} has {len(vals)} values, expected "
+                    f"{img_h}x{img_w} — wrong dataset flavor? (Market stores "
+                    "pose_mask_r4/r6, DF stores pose_mask_r4/r8; the flavor "
+                    "is chosen by whether 'market' is in the dataset name, "
+                    "as in the reference trainer.py:35)")
             out[f"{store}{tag}"] = np.asarray(vals, np.float32).reshape(
                 img_h, img_w, 1)
         out[f"part_bbox{tag}"] = np.asarray(

@@ -1,0 +1,83 @@
+"""Scoring CLI — mirrors score.py / score_mask.py.
+
+  python -m dpig_tpu.eval.score <stage> <model_dir> <test_dir> [--mask]
+         [--inception_pb path/to/classify_image_graph_def.pb]
+
+stage 1: compare <test_dir>/G vs <test_dir>/x_target (score.py:33-105);
+         --mask multiplies both by <test_dir>/mask first (score_mask.py).
+Writes score.txt in the test dir and prints all metrics.
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+from typing import List, Optional
+
+import numpy as np
+from PIL import Image
+
+from . import metrics
+from .inception import frozen_graph_logits_fn, get_inception_score
+
+
+def _load_dir(d: str) -> List[np.ndarray]:
+    files = sorted(sum((glob.glob(os.path.join(d, pat))
+                        for pat in ("*.jpg", "*.png")), []))
+    return [np.asarray(Image.open(f)) for f in files]
+
+
+def score_stage1(model_dir: str, test_dir: str, masked: bool = False,
+                 inception_pb: Optional[str] = None) -> dict:
+    root = os.path.join(model_dir, test_dir)
+    g_list = _load_dir(os.path.join(root, "G"))
+    x_list = _load_dir(os.path.join(root, "x_target"))
+    assert len(g_list) == len(x_list) and g_list, (
+        f"need matching G/ and x_target/ PNG dirs under {root}")
+    masks = _load_dir(os.path.join(root, "mask")) if masked else None
+
+    per = []
+    for i, (g, x) in enumerate(zip(g_list, x_list)):
+        if masked:
+            per.append(metrics.score_pair_masked(g, x, masks[i]))
+        else:
+            per.append(metrics.score_pair_gray(g, x))
+    out = {}
+    for k in ("ssim", "psnr", "l1", "l2"):
+        vals = [p[k] for p in per]
+        out[f"{k}_G_x_mean"] = float(np.mean(vals))
+        out[f"{k}_G_x_std"] = float(np.std(vals))
+
+    if inception_pb:
+        is_mean, is_std = get_inception_score(
+            g_list, frozen_graph_logits_fn(inception_pb))
+        out["IS_G_mean"], out["IS_G_std"] = is_mean, is_std
+
+    score_path = os.path.join(root, "score_mask.txt" if masked
+                              else "score.txt")
+    with open(score_path, "w") as f:
+        f.write(f"Image number: {len(g_list)}\n")
+        for k, v in out.items():
+            f.write(f"{k}: {v:.5f}\n")
+    for k, v in out.items():
+        print(f"{k}: {v:.6f}")
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("stage", type=int)
+    ap.add_argument("model_dir")
+    ap.add_argument("test_dir")
+    ap.add_argument("--mask", action="store_true")
+    ap.add_argument("--inception_pb", default=None)
+    a = ap.parse_args()
+    if a.stage != 1:
+        raise NotImplementedError("two-stage (G1/G2) scoring: use stage 1 "
+                                  "on each directory")
+    score_stage1(a.model_dir, a.test_dir, masked=a.mask,
+                 inception_pb=a.inception_pb)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+"""End-to-end: tester output tree -> scoring CLI; IS protocol math."""
+import os
+
+import numpy as np
+from PIL import Image
+
+from dpig_tpu.eval.inception import inception_score_from_probs
+from dpig_tpu.eval.score import score_stage1
+
+
+def test_inception_score_uniform_probs():
+    # uniform predictions -> KL 0 -> IS exactly 1
+    preds = np.full((100, 10), 0.1)
+    mean, std = inception_score_from_probs(preds, splits=10)
+    assert abs(mean - 1.0) < 1e-9 and std < 1e-9
+
+
+def test_inception_score_onehot_varied():
+    # each sample confidently a different class -> IS ~= num_classes
+    n, c = 100, 10
+    preds = np.full((n, c), 1e-9)
+    for i in range(n):
+        preds[i, i % c] = 1.0 - 1e-9 * (c - 1)
+    mean, _ = inception_score_from_probs(preds, splits=10)
+    assert abs(mean - c) < 0.5
+
+
+def test_score_cli_on_generated_tree(tmp_path, rng):
+    root = tmp_path / "test_result"
+    for sub in ("G", "x_target", "mask"):
+        os.makedirs(root / sub)
+    for i in range(6):
+        x = rng.integers(0, 255, (32, 16, 3), dtype=np.uint8)
+        g = np.clip(x + rng.integers(-20, 20, x.shape), 0, 255).astype(
+            np.uint8)
+        m = np.zeros((32, 16), np.uint8)
+        m[8:24, 4:12] = 255
+        Image.fromarray(x).save(root / "x_target" / f"{i:05d}.png")
+        Image.fromarray(g).save(root / "G" / f"{i:05d}.png")
+        Image.fromarray(m).save(root / "mask" / f"{i:05d}.png")
+
+    out = score_stage1(str(tmp_path), "test_result")
+    assert 0 < out["ssim_G_x_mean"] <= 1.0
+    assert out["psnr_G_x_mean"] > 10
+    assert os.path.exists(root / "score.txt")
+
+    out_m = score_stage1(str(tmp_path), "test_result", masked=True)
+    assert 0 < out_m["ssim_G_x_mean"] <= 1.0
+    assert os.path.exists(root / "score_mask.txt")
+
+    # identical images -> perfect scores
+    for i in range(6):
+        img = Image.open(root / "x_target" / f"{i:05d}.png")
+        img.save(root / "G" / f"{i:05d}.png")
+    out2 = score_stage1(str(tmp_path), "test_result")
+    assert out2["ssim_G_x_mean"] > 0.9999
+    assert out2["l1_G_x_mean"] == 0.0
