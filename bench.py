@@ -59,8 +59,9 @@ def main() -> None:
     bbox, vis = select_parts(jb["part_bbox"], jb["part_vis"], cfg.roi_part_num)
     args = (state.g_params, jb["x"], jb["pose_rcv"], jb["mask_r6"], bbox, vis)
 
-    # Warmup / compile
-    jax.block_until_ready(gen_chain(*args, 1))
+    # Warmup / compile. np.asarray (not block_until_ready) — remote/lazy
+    # backends only execute when a result is actually demanded.
+    _ = np.asarray(gen_chain(*args, 1)[0, 0, 0])
 
     t0 = time.perf_counter()
     out = gen_chain(*args, n_iters)

@@ -338,3 +338,78 @@ class ConditionalTransferTester(_TesterBase):
         print(f"[*] transfer SSIM vs x_target: {np.mean(ssims):.4f} "
               f"over {len(ssims)} images")
         return out_root
+
+
+class InterpolationTester(_TesterBase):
+    """Factor interpolation (the capability behind the reference's
+    interpolate_fg/bg/pose flags, config.py:70-77 — captured at
+    trainer.py:96-103 but never wired there; implemented here properly
+    with utils.py:91-97 slerp in embedding space).
+
+    Interpolates the toggled factor between sample 0 and sample 1 of a
+    batch over `n_steps`, holding the other factors at sample 0's values,
+    and writes one image row per interpolation step.
+    """
+
+    REQUIRED = {"Encoder", "ID_AE", "PoseAE"}
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _embed(self, batch):
+        cfg = self.cfg
+        embs = self._encode_app(batch)
+        rcv_norm = pose_rcv_normalize(batch["pose_rcv"], cfg.img_H, cfg.img_W)
+        from .stage1_pose import Stage1PoseApp
+        pose_ae = Stage1PoseApp(cfg)
+        pose_z = pose_ae.encoder.apply(
+            {"params": self.params["PoseAE"]["G_Pose_Encoder"]},
+            rcv_norm.reshape(rcv_norm.shape[0], -1))
+        return embs, pose_z
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _decode(self, embs, pose_z):
+        cfg = self.cfg
+        from .stage1_pose import Stage1PoseApp
+        pose_ae = Stage1PoseApp(cfg)
+        rcv, _ = pose_ae.decode_pose({"PoseAE": self.params["PoseAE"]},
+                                     pose_z)
+        pose_maps = render_pose_maps(rcv, cfg.img_H, cfg.img_W,
+                                     cfg.keypoint_num, radius=4,
+                                     normalized=True)
+        g_raw = self._generate(embs, pose_maps)
+        return jnp.clip((g_raw + 1) * 127.5, 0, 255)
+
+    def run(self, loader: Iterator, n_steps: int = 8,
+            use_slerp: bool = True) -> str:
+        from ..ops.image import slerp as _slerp
+        cfg = self.cfg
+        fg_dim = cfg.roi_part_num * cfg.roi_z_num
+        batch = next(loader)
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        embs, pose_z = self._embed(jb)
+        embs = np.asarray(embs)
+        pose_z = np.asarray(pose_z)
+
+        lerp = (lambda t, a, b: _slerp(t, a, b)) if use_slerp else (
+            lambda t, a, b: (1 - t) * a + t * b)
+        rows = []
+        for i in range(n_steps):
+            t = i / max(n_steps - 1, 1)
+            e = embs[0].copy()
+            pz = pose_z[0].copy()
+            if cfg.interpolate_fg or cfg.interpolate_fg_up \
+                    or cfg.interpolate_fg_down:
+                e[:fg_dim] = lerp(t, embs[0, :fg_dim], embs[1, :fg_dim])
+            if cfg.interpolate_bg:
+                e[fg_dim:] = lerp(t, embs[0, fg_dim:], embs[1, fg_dim:])
+            if cfg.interpolate_pose:
+                pz = lerp(t, pose_z[0], pose_z[1])
+            rows.append((e, pz))
+        e_all = jnp.asarray(np.stack([r[0] for r in rows]))
+        pz_all = jnp.asarray(np.stack([r[1] for r in rows]))
+        imgs = np.asarray(self._decode(e_all, pz_all))
+
+        out_root = os.path.join(cfg.model_dir, "test_result_interpolate")
+        os.makedirs(out_root, exist_ok=True)
+        save_image(imgs, os.path.join(out_root, "interpolation.png"),
+                   nrow=n_steps)
+        return out_root

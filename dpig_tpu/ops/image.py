@@ -42,3 +42,19 @@ def avg_pool_2x(x: jax.Array) -> jax.Array:
     return jax.lax.reduce_window(
         x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "SAME"
     ) / 4.0
+
+
+def slerp(val, low, high):
+    """Spherical interpolation (reference utils.py:91-97). Works on 1-D
+    embedding vectors; falls back to lerp for (near-)parallel inputs."""
+    import numpy as np
+    low = np.asarray(low)
+    high = np.asarray(high)
+    omega = np.arccos(np.clip(
+        np.dot(low / np.linalg.norm(low), high / np.linalg.norm(high)),
+        -1, 1))
+    so = np.sin(omega)
+    if so == 0:
+        return (1.0 - val) * low + val * high
+    return (np.sin((1.0 - val) * omega) / so * low
+            + np.sin(val * omega) / so * high)

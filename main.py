@@ -104,8 +104,16 @@ def test_model(cfg: Config) -> None:
     from dpig_tpu.apps import testers
 
     model = cfg.model
+    if cfg.test_one_by_one:
+        from dpig_tpu.apps.demo import run_one_by_one
+        run_one_by_one(cfg, cfg.demo_img_dir, cfg.demo_pair_path,
+                       cfg.demo_all_peaks_path, cfg.demo_subsets_path)
+        return
     loader = make_loader(cfg)
-    if model in (11,):
+    if (cfg.interpolate_fg or cfg.interpolate_fg_up or cfg.interpolate_fg_down
+            or cfg.interpolate_bg or cfg.interpolate_pose):
+        testers.InterpolationTester(cfg).run(loader)
+    elif model in (11,):
         testers.FullSamplingTester(cfg).run(loader)
     elif model in (12, 1001):
         testers.ConditionalTransferTester(cfg).run(loader)

@@ -88,3 +88,21 @@ def test_pair_loader_batches(tmp_path, rng):
                                  img_h=h, img_w=w, dataset="market",
                                  shuffle=False)
     np.testing.assert_array_equal(batch["x"], next(loader2)["x"])
+
+
+def test_native_scanner_matches_python(tmp_path, rng):
+    from dpig_tpu.data import _native
+    if _native.get_lib() is None:
+        import pytest
+        pytest.skip("no g++ available")
+    recs = [make_example(rng) for _ in range(4)]
+    path = str(tmp_path / "n.tfrecord")
+    with tfrecord.TFRecordWriter(path) as w:
+        for r in recs:
+            w.write(r)
+    offs, lens = _native.scan_tfrecord(path, verify_crc=True)
+    assert len(offs) == 4
+    mf = _native.MmapRecordFile(path)
+    assert [mf[i] for i in range(4)] == recs
+    # reader fast path produces identical records
+    assert list(tfrecord.read_records(path, verify_crc=True)) == recs

@@ -68,3 +68,41 @@ def test_conditional_transfer_tester(tmp_path):
                 "mask_target"):
         files = os.listdir(os.path.join(out, sub))
         assert len(files) == 2 * cfg.batch_size, (sub, files)
+
+
+def test_interpolation_tester(tmp_path):
+    cfg = small_cfg(tmp_path, interpolate_fg=True, interpolate_pose=True)
+    t = testers.InterpolationTester(cfg)
+    loader = SyntheticLoader(cfg.batch_size, cfg.img_H, cfg.img_W, seed=4)
+    out = t.run(loader, n_steps=4)
+    assert os.path.exists(os.path.join(out, "interpolation.png"))
+
+
+def test_demo_one_by_one(tmp_path, rng):
+    import pickle
+    from PIL import Image
+    from dpig_tpu.apps.demo import run_one_by_one
+    h, w = 32, 16
+    img_dir = tmp_path / "imgs"
+    os.makedirs(img_dir)
+    names = ["a.jpg", "b.jpg"]
+    all_peaks, subsets = {}, {}
+    for n in names:
+        arr = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(img_dir / n)
+        pk = [[(float(rng.integers(2, w - 2)), float(rng.integers(2, h - 2)),
+                0.9, k)] for k in range(18)]
+        all_peaks[n] = pk
+        s = np.zeros((1, 20)); s[0, :18] = np.arange(18); s[0, -2] = 1.0
+        subsets[n] = s
+    pairs = [("a.jpg", "b.jpg")]
+    for obj, fn in ((pairs, "pairs.p"), (all_peaks, "peaks.p"),
+                    (subsets, "subsets.p")):
+        with open(tmp_path / fn, "wb") as f:
+            pickle.dump(obj, f)
+    cfg = small_cfg(tmp_path, batch_size=1)
+    out = run_one_by_one(cfg, str(img_dir), str(tmp_path / "pairs.p"),
+                         str(tmp_path / "peaks.p"),
+                         str(tmp_path / "subsets.p"), pair_num=1,
+                         shuffle=False)
+    assert len(os.listdir(os.path.join(out, "G"))) == 1
