@@ -97,7 +97,8 @@ class TFRecordPairLoader:
     def __init__(self, dataset_dir: str, split: str, batch_size: int,
                  img_h: int, img_w: int, dataset: str = "market",
                  shuffle: bool = True, seed: int = 0,
-                 shuffle_buffer: int = 512):
+                 shuffle_buffer: int = 512,
+                 host_id: int = 0, host_count: int = 1):
         self.dataset_dir = dataset_dir
         self.batch_size = batch_size
         self.img_h, self.img_w = img_h, img_w
@@ -113,6 +114,14 @@ class TFRecordPairLoader:
         if not shards:
             raise FileNotFoundError(
                 f"no *{split}*.tfrecord shards in {dataset_dir}")
+        # Multi-host: each host reads a disjoint shard subset (pass
+        # host_id=jax.process_index(), host_count=jax.process_count()).
+        if host_count > 1:
+            if len(shards) >= host_count:
+                shards = shards[host_id::host_count]
+            else:
+                # fewer shards than hosts: offset the shuffle stream instead
+                self._rng = random.Random(seed * host_count + host_id)
         self.shards = shards
         self.num_samples = self._load_pair_count(split)
         self._it = iter_examples(shards, img_h, img_w, self.mask_keys,

@@ -42,3 +42,21 @@ def shard_batch(batch, mesh: Mesh, axis: str = DATA_AXIS):
 def replicate(tree, mesh: Mesh):
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up (jax.distributed over DCN). No-op when already
+    initialized or single-process. The same Mesh/pjit code then spans all
+    hosts' devices; pair with TFRecordPairLoader(host_id=..., host_count=...)
+    for disjoint input shards.
+    """
+    import jax.distributed
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id)
+    except RuntimeError:
+        pass  # already initialized

@@ -34,6 +34,17 @@ class Trainer:
         self.mesh = make_mesh() if use_mesh else None
         os.makedirs(cfg.model_dir, exist_ok=True)
         self._metrics_f = open(os.path.join(cfg.model_dir, "metrics.jsonl"), "a")
+        self._tb = self._make_tb_writer(cfg.model_dir)
+
+    @staticmethod
+    def _make_tb_writer(model_dir: str):
+        """Real TensorBoard events (reference trainer.py:310-319) when TF
+        is importable; JSONL remains the primary sink either way."""
+        try:
+            import tensorflow as tf  # optional dependency
+            return tf.summary.create_file_writer(model_dir)
+        except Exception:
+            return None
 
     # ------------------------------------------------------------- state
     def init_state(self, rng: jax.Array, frozen_params=None):
@@ -53,6 +64,13 @@ class Trainer:
                **{k: float(v) for k, v in metrics.items()}}
         self._metrics_f.write(json.dumps(rec) + "\n")
         self._metrics_f.flush()
+        if self._tb is not None:
+            import tensorflow as tf
+            with self._tb.as_default():
+                for k, v in rec.items():
+                    if k != "step":
+                        tf.summary.scalar(f"loss/{k}", v, step=step)
+            self._tb.flush()
         print(f"[{step}] " + " ".join(f"{k}={v:.4f}" for k, v in rec.items()
                                       if k != "step"), flush=True)
 
