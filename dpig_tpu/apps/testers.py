@@ -87,6 +87,10 @@ class _TesterBase:
         mapper = GaussianMapper(out_dim=POSE_Z, hidden_num=512)
         params["PoseGaussian"] = jax.jit(mapper.init)(
             rng, jnp.zeros((2, POSE_Z)))["params"]
+        app_dim = cfg.roi_part_num * cfg.roi_z_num
+        single = GaussianMapper(out_dim=app_dim, hidden_num=512)
+        params["Gaussian_FC"] = jax.jit(single.init)(
+            rng, jnp.zeros((2, app_dim)))["params"]
         disc = self.stage1.disc
         dv = jax.jit(functools.partial(disc.init, train=True))(
             rng, jnp.zeros((2, cfg.img_H, cfg.img_W, 3)))
@@ -220,11 +224,16 @@ class FactorSamplingTester(_TesterBase):
     sample_fg / sample_bg / sample_pose; non-sampled factors are fixed to
     sample 0's embedding across the batch."""
 
-    REQUIRED = {"Encoder", "ID_AE", "PoseAE", "PoseGaussian",
-                "Gaussian_FC_Fg", "Gaussian_FC_Bg"}
     DEFAULT_BATCHES = 400  # tester.py:475
 
     def __init__(self, cfg: Config):
+        self.is_256 = cfg.img_H >= 256
+        # DF (model 1002) has one 7*32-d app mapper 'Gaussian_FC'
+        # (tester.py:917-1161); Market splits FG/BG.
+        self.REQUIRED = ({"Encoder", "ID_AE", "PoseAE", "PoseGaussian",
+                          "Gaussian_FC"} if self.is_256 else
+                         {"Encoder", "ID_AE", "PoseAE", "PoseGaussian",
+                          "Gaussian_FC_Fg", "Gaussian_FC_Bg"})
         super().__init__(cfg)
         self.fg_dim = cfg.roi_part_num * cfg.roi_z_num
         self.mapper_fg = GaussianMapper(out_dim=self.fg_dim, hidden_num=512)
@@ -237,21 +246,29 @@ class FactorSamplingTester(_TesterBase):
         b = batch["x"].shape[0]
         r_fg, r_bg, r_pose = jax.random.split(rng, 3)
         embs = self._encode_app(batch)
-        fg_embs, bg_embs = embs[:, :self.fg_dim], embs[:, self.fg_dim:]
 
-        if cfg.sample_fg:
-            fg = self.mapper_fg.apply(
-                {"params": self.params["Gaussian_FC_Fg"]},
-                sample_mapper_noise(r_fg, b, self.fg_dim))
+        if self.is_256:
+            if cfg.sample_fg or cfg.sample_app:
+                embs = self.mapper_fg.apply(
+                    {"params": self.params["Gaussian_FC"]},
+                    sample_mapper_noise(r_fg, b, self.fg_dim))
+            else:
+                embs = jnp.tile(embs[:1], (b, 1))
         else:
-            fg = jnp.tile(fg_embs[:1], (b, 1))  # tester.py:541-543
-        if cfg.sample_bg:
-            bg = self.mapper_bg.apply(
-                {"params": self.params["Gaussian_FC_Bg"]},
-                sample_mapper_noise(r_bg, b, cfg.roi_z_num * 4))
-        else:
-            bg = jnp.tile(bg_embs[:1], (b, 1))
-        embs = jnp.concatenate([fg, bg], -1)
+            fg_embs, bg_embs = embs[:, :self.fg_dim], embs[:, self.fg_dim:]
+            if cfg.sample_fg:
+                fg = self.mapper_fg.apply(
+                    {"params": self.params["Gaussian_FC_Fg"]},
+                    sample_mapper_noise(r_fg, b, self.fg_dim))
+            else:
+                fg = jnp.tile(fg_embs[:1], (b, 1))  # tester.py:541-543
+            if cfg.sample_bg:
+                bg = self.mapper_bg.apply(
+                    {"params": self.params["Gaussian_FC_Bg"]},
+                    sample_mapper_noise(r_bg, b, cfg.roi_z_num * 4))
+            else:
+                bg = jnp.tile(bg_embs[:1], (b, 1))
+            embs = jnp.concatenate([fg, bg], -1)
 
         if cfg.sample_pose:
             pose_maps, _ = self._pose_maps(batch, r_pose, "reconstructed")

@@ -81,9 +81,11 @@ def _flip_peaks(peaks, width: int):
     return out
 
 
-def _peaks_for(name: str, all_peaks: Dict, subsets: Dict):
+def _peaks_for(name: str, all_peaks: Dict, subsets: Optional[Dict]):
     if name not in all_peaks:
         return None
+    if subsets is None:  # rcv input: peaks already selected
+        return all_peaks[name]
     return pt.get_valid_peaks(all_peaks[name], subsets[name])
 
 
@@ -139,9 +141,18 @@ def run(dataset: str, img_dir: str, pose_dir: str, out_dir: str,
         split: str = "train", height: Optional[int] = None,
         width: Optional[int] = None, flip_augment: bool = True,
         test_cap: Optional[int] = None) -> int:
+    """dataset: 'market' | 'df' | 'rcv'.
+
+    'rcv' is the generic converter (reference convert_RCV.py): pose_dir is
+    a single pickle of {image_name: [18,3] (row,col,vis)} arrays (e.g.
+    produced by pose_tools.maskrcnn_to_openpose_rcv); pair mining and the
+    Market mask radii are reused; test_seq gives all-ordered-pairs
+    cross-dataset generation (convert_RCV.py:1083-1100).
+    """
     os.makedirs(out_dir, exist_ok=True)
     random.seed(0)  # convert_market.py:39-40
-    is_market = dataset == "market"
+    is_rcv = dataset == "rcv"
+    is_market = dataset == "market" or is_rcv
     height = height or (128 if is_market else 256)
     width = width or (64 if is_market else 256)
 
@@ -170,16 +181,23 @@ def run(dataset: str, img_dir: str, pose_dir: str, out_dir: str,
         if cap:
             pairs, labels = pairs[:cap], labels[:cap]
 
-    all_peaks = _load_py2_pickle(
-        os.path.join(pose_dir, "all_peaks_dic_DeepFashion.p")
-        if not is_market and os.path.exists(
-            os.path.join(pose_dir, "all_peaks_dic_DeepFashion.p"))
-        else os.path.join(pose_dir, "all_peaks_dic.p"))
-    subsets = _load_py2_pickle(
-        os.path.join(pose_dir, "subsets_dic_DeepFashion.p")
-        if not is_market and os.path.exists(
-            os.path.join(pose_dir, "subsets_dic_DeepFashion.p"))
-        else os.path.join(pose_dir, "subsets_dic.p"))
+    if is_rcv:
+        # pose_dir is a pickle file: {name: [K,3] rcv}; adapt to peaks.
+        rcv_dic = _load_py2_pickle(pose_dir)
+        all_peaks = {n: pt.peaks_from_rcv(np.asarray(v))
+                     for n, v in rcv_dic.items()}
+        subsets = None
+    else:
+        all_peaks = _load_py2_pickle(
+            os.path.join(pose_dir, "all_peaks_dic_DeepFashion.p")
+            if not is_market and os.path.exists(
+                os.path.join(pose_dir, "all_peaks_dic_DeepFashion.p"))
+            else os.path.join(pose_dir, "all_peaks_dic.p"))
+        subsets = _load_py2_pickle(
+            os.path.join(pose_dir, "subsets_dic_DeepFashion.p")
+            if not is_market and os.path.exists(
+                os.path.join(pose_dir, "subsets_dic_DeepFashion.p"))
+            else os.path.join(pose_dir, "subsets_dic.p"))
 
     shard = os.path.join(out_dir, f"{name}_{split}_00000-of-00001.tfrecord")
     n = convert_pairs(img_dir, pairs, labels, all_peaks, subsets, shard,
@@ -209,9 +227,8 @@ def main() -> None:
     ap.add_argument("--W", type=int, default=None)
     ap.add_argument("--no_flip", action="store_true")
     a = ap.parse_args()
-    run(a.dataset if a.dataset != "rcv" else "market",
-        a.img_dir, a.pose_dir, a.out_dir, split=a.split, height=a.H,
-        width=a.W, flip_augment=not a.no_flip)
+    run(a.dataset, a.img_dir, a.pose_dir, a.out_dir, split=a.split,
+        height=a.H, width=a.W, flip_augment=not a.no_flip)
 
 
 if __name__ == "__main__":

@@ -186,3 +186,30 @@ def peaks_from_rcv(rcv: np.ndarray) -> list:
         r, c, v = rcv[k]
         peaks.append([(float(c), float(r), 1.0, k)] if v > 0 else [])
     return peaks
+
+
+# MaskRCNN(COCO-17) -> OpenPose(18) keypoint index map
+# (datasets/mat2dic_maskrcnn.py:28). OpenPose's neck (idx 1) is synthesized
+# as the shoulder midpoint.
+OPENPOSE_FROM_MASKRCNN = {0: 0, 1: None, 2: 6, 3: 8, 4: 10, 5: 5, 6: 7,
+                          7: 9, 8: 12, 9: 14, 10: 16, 11: 11, 12: 13,
+                          13: 15, 14: 1, 15: 2, 16: 3, 17: 4}
+
+
+def maskrcnn_to_openpose_rcv(crs: np.ndarray, keypoint_num: int = 18
+                             ) -> np.ndarray:
+    """[2, 17] MaskRCNN (col,row) joints -> [18, 3] OpenPose-order rcv,
+    with the neck made up from the shoulder midpoint
+    (datasets/mat2dic_maskrcnn.py:29-53)."""
+    rcv = np.zeros([keypoint_num, 3], np.float32)
+    for k in range(keypoint_num):
+        k_idx = OPENPOSE_FROM_MASKRCNN[k]
+        if k_idx is not None:
+            c, r = crs[:, k_idx]
+            if not (c == 0 and r == 0):
+                rcv[k] = [r, c, 1]
+    r0, c0, v0 = rcv[2]
+    r1, c1, v1 = rcv[5]
+    if v0 and v1:
+        rcv[1] = [(r0 + r1) / 2, (c0 + c1) / 2, 1]
+    return rcv

@@ -129,8 +129,12 @@ def compose_pretrained(cfg) -> Dict[str, Any]:
     if cfg.pretrained_poseAE_path:
         merged.update(restore_subtrees(cfg.pretrained_poseAE_path, ["PoseAE"]))
     if cfg.pretrained_appSample_path:
-        merged.update(restore_subtrees(cfg.pretrained_appSample_path,
-                                       ["Gaussian_FC_Fg", "Gaussian_FC_Bg"]))
+        try:
+            merged.update(restore_subtrees(cfg.pretrained_appSample_path,
+                                           ["Gaussian_FC_Fg", "Gaussian_FC_Bg"]))
+        except KeyError:  # DF single-mapper checkpoints (model 103)
+            merged.update(restore_subtrees(cfg.pretrained_appSample_path,
+                                           ["Gaussian_FC"]))
     if cfg.pretrained_poseSample_path:
         merged.update(restore_subtrees(cfg.pretrained_poseSample_path,
                                        ["PoseGaussian"]))

@@ -54,6 +54,15 @@ class Trainer:
             state = self.app.init_state(rng)
         if self.cfg.ckpt_path:
             state = ckpt.restore_into_state(self.cfg.ckpt_path, state)
+        else:
+            # Preemption-safe auto-resume: pick up the newest checkpoint in
+            # model_dir (the reference requires manual --ckpt_path +
+            # --start_step; SURVEY §5.3 lists elastic recovery as absent).
+            latest = ckpt.latest_checkpoint(self.cfg.model_dir)
+            if latest:
+                state = ckpt.restore_into_state(latest, state)
+                print(f"[*] auto-resumed from {latest} "
+                      f"(step {int(state.step)})", flush=True)
         if self.mesh is not None:
             state = replicate(state, self.mesh)
         return state

@@ -61,8 +61,12 @@ def train_model(cfg: Config) -> None:
         Trainer(cfg, app, loader).train()
 
     elif model in (3, 103):
-        from dpig_tpu.apps.stage2_app import Stage2AppApp
-        app = Stage2AppApp(cfg, split_fg_bg=model == 3)
+        if model == 3:
+            from dpig_tpu.apps.stage2_app import Stage2AppApp
+            app = Stage2AppApp(cfg)
+        else:  # DF: single 7*32-d mapper (trainer_256.py:266-403)
+            from dpig_tpu.apps.stage2_app_single import Stage2AppSingleApp
+            app = Stage2AppSingleApp(cfg)
         if cfg.pretrained_path:
             frozen = ckpt.restore_subtrees(cfg.pretrained_path,
                                            ["Encoder", "ID_AE"])

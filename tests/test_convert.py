@@ -109,3 +109,43 @@ def test_converter_end_to_end(tmp_path, rng):
     assert batch["pose_rcv"][..., 0].max() < h
     assert batch["pose_rcv"][..., 1].max() < w
     assert loader.num_samples == total
+
+
+def test_maskrcnn_remap_and_neck_synthesis():
+    crs = np.zeros((2, 17))
+    crs[:, 5] = [10, 20]   # left shoulder (col=10, row=20) -> OP idx 5
+    crs[:, 6] = [30, 24]   # right shoulder -> OP idx 2
+    crs[:, 0] = [20, 5]    # nose -> OP idx 0
+    rcv = pt.maskrcnn_to_openpose_rcv(crs)
+    np.testing.assert_allclose(rcv[0], [5, 20, 1])
+    np.testing.assert_allclose(rcv[2], [24, 30, 1])
+    np.testing.assert_allclose(rcv[5], [20, 10, 1])
+    # neck = shoulder midpoint
+    np.testing.assert_allclose(rcv[1], [22, 20, 1])
+    # absent joints invisible
+    assert rcv[10, 2] == 0
+
+
+def test_rcv_converter(tmp_path, rng):
+    import pickle
+    from PIL import Image
+    from dpig_tpu.data.convert.run import run
+    h, w = 32, 16
+    img_dir = tmp_path / "imgs"
+    os.makedirs(img_dir)
+    names = ["0001_c1s1_000001_00.jpg", "0001_c2s1_000002_00.jpg"]
+    rcv_dic = {}
+    for n in names:
+        Image.fromarray(rng.integers(0, 255, (h, w, 3),
+                                     dtype=np.uint8)).save(img_dir / n)
+        rcv = np.zeros((18, 3), np.float32)
+        rcv[:, 0] = rng.integers(2, h - 2, 18)
+        rcv[:, 1] = rng.integers(2, w - 2, 18)
+        rcv[:, 2] = 1
+        rcv_dic[n] = rcv
+    pkl = tmp_path / "rcv.p"
+    with open(pkl, "wb") as f:
+        pickle.dump(rcv_dic, f)
+    total = run("rcv", str(img_dir), str(pkl), str(tmp_path / "out"),
+                split="train", height=h, width=w, flip_augment=False)
+    assert total > 0

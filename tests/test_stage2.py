@@ -69,3 +69,21 @@ def test_stage2_pose_sampler():
     out = app.preview_step(state, {k: jnp.asarray(v) for k, v in batch.items()},
                            jax.random.PRNGKey(3))
     assert out.shape == (cfg.batch_size, cfg.img_H, cfg.img_W, 3)
+
+
+def test_stage2_app_single_mapper_df():
+    """DF model 103: one Gaussian_FC mapper over the 7*32-d embedding."""
+    import jax.numpy as jnp
+    from dpig_tpu.apps.stage2_app_single import Stage2AppSingleApp
+    cfg = small_cfg()
+    app = Stage2AppSingleApp(cfg)
+    state = app.init_state(jax.random.PRNGKey(0))
+    assert set(state.g_params) == {"Gaussian_FC"}
+    batch = next(SyntheticLoader(cfg.batch_size, cfg.img_H, cfg.img_W, seed=7))
+    state, m = app.train_step(state, dict(batch), jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["g_loss_embs"]))
+    for leaf in jax.tree_util.tree_leaves(state.d_params):
+        assert float(jnp.max(jnp.abs(leaf))) <= 0.01 + 1e-6
+    out = app.preview_step(state, {k: jnp.asarray(v) for k, v in batch.items()},
+                           jax.random.PRNGKey(9))
+    assert out.shape == (cfg.batch_size, cfg.img_H, cfg.img_W, 3)

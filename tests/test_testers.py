@@ -106,3 +106,19 @@ def test_demo_one_by_one(tmp_path, rng):
                          str(tmp_path / "subsets.p"), pair_num=1,
                          shuffle=False)
     assert len(os.listdir(os.path.join(out, "G"))) == 1
+
+
+def test_factor_sampling_256_single_mapper(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    # square 64 keeps CPU cost low but is_256 requires >=256: use a tiny
+    # hidden size at 256 and batch 2, single step
+    cfg = small_cfg(tmp_path, img_H=256, img_W=256, batch_size=2,
+                    conv_hidden_num=4, z_num=4, sample_fg=True,
+                    sample_pose=False)
+    t = testers.FactorSamplingTester(cfg)
+    assert "Gaussian_FC" in t.REQUIRED
+    batch = next(SyntheticLoader(2, 256, 256, seed=8))
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    g, pose, score = t.sample_step(jb, jax.random.PRNGKey(0))
+    assert g.shape == (2, 256, 256, 3)
