@@ -24,7 +24,7 @@ def main() -> None:
     from dpig_tpu.config import Config
     from dpig_tpu.data.synthetic import synthetic_batch
 
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     cfg = Config(img_H=128, img_W=64, batch_size=batch_size,
                  compute_dtype="bfloat16", model_dir="/tmp/bench")
     app = Stage1App(cfg)

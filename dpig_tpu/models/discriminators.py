@@ -65,3 +65,79 @@ class FCDiscriminator(nn.Module):
         logit = nn.Dense(1, dtype=self.dtype, kernel_init=d_init(),
                          name="out")(x)
         return logit.reshape(-1)
+
+
+class RegionDiscriminator(nn.Module):
+    """DCGANDiscriminatorRegion (wgan_gp.py:513-546): 3x stride-2 5x5 convs
+    then a stride-1 conv to a 1-channel per-region score map [B, H/8, W/8].
+    Selectable via --D_arch=DCGANRegion* (trainer.py:156-157)."""
+    dim: int = 64
+    mode: str = "dcgan"
+    bn: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = True):
+        ch = self.dim
+        for stage in range(3):
+            x = nn.Conv(ch, (5, 5), strides=(2, 2), dtype=self.dtype,
+                        kernel_init=d_init())(x)
+            if stage > 0 and self.bn:
+                if self.mode == "wgan-gp":
+                    x = nn.LayerNorm(dtype=self.dtype)(x)
+                else:
+                    x = nn.BatchNorm(use_running_average=not train,
+                                     momentum=0.9, dtype=self.dtype)(x)
+            x = leaky_relu(x)
+            ch *= 2
+        x = nn.Conv(1, (5, 5), strides=(1, 1), dtype=self.dtype,
+                    kernel_init=d_init())(x)
+        return x[..., 0]  # [B, H/8, W/8] score map
+
+
+class PatchDiscriminator(nn.Module):
+    """pix2pix-style PatchGAN critic (wgan_gp.py:549-576): 4x4 convs with
+    reflect padding, stride-2 except the two last layers, 1-ch logit map."""
+    dim: int = 64
+    n_layers: int = 3
+    mode: str = "dcgan"
+    bn: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = True):
+        def conv_reflect(z, ch, stride):
+            z = jnp.pad(z, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+            return nn.Conv(ch, (4, 4), strides=(stride, stride),
+                           padding="VALID", dtype=self.dtype,
+                           kernel_init=d_init())(z)
+
+        x = leaky_relu(conv_reflect(x, self.dim, 2))
+        for i in range(self.n_layers):
+            ch = self.dim * min(2 ** (i + 1), 8)
+            stride = 1 if i == self.n_layers - 1 else 2
+            x = conv_reflect(x, ch, stride)
+            if self.bn:
+                if self.mode == "wgan-gp":
+                    x = nn.LayerNorm(dtype=self.dtype)(x)
+                else:
+                    x = nn.BatchNorm(use_running_average=not train,
+                                     momentum=0.9, dtype=self.dtype)(x)
+            x = leaky_relu(x)
+        x = conv_reflect(x, 1, 1)
+        return x[..., 0]
+
+
+def get_discriminator(arch: str, *, n_stages: int = 4, mode: str = "dcgan",
+                      dtype=jnp.float32):
+    """--D_arch selector (trainer.py:151-158): DCGAN | FCDis | DCGANRegion*
+    (+ Patch* as optional parity)."""
+    if arch == "DCGAN":
+        return DCGANDiscriminator(n_stages=n_stages, mode=mode, dtype=dtype)
+    if arch == "FCDis":
+        return FCDiscriminator(dtype=dtype)
+    if arch.startswith("DCGANRegion"):
+        return RegionDiscriminator(mode=mode, dtype=dtype)
+    if arch.startswith("Patch"):
+        return PatchDiscriminator(mode=mode, dtype=dtype)
+    raise ValueError(f"You must choose an architecture! (got {arch!r})")

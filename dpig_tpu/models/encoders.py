@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.crop import crop_body_rois
+from ..ops.crop import crop_body_rois_mm as crop_body_rois
 from ..ops.ste import bernoulli_sample
 from .layers import ConvBlockTower, Dtype, xavier
 

@@ -110,3 +110,48 @@ def test_plain_encoder():
     vars_ = enc.init(KEY, x)
     out = enc.apply(vars_, x)
     assert out.shape == (B, 16)
+
+
+def test_region_and_patch_discriminators():
+    from dpig_tpu.models.discriminators import (PatchDiscriminator,
+                                                RegionDiscriminator,
+                                                get_discriminator)
+    x = jnp.zeros((2, 64, 32, 3))
+    d = RegionDiscriminator(dim=8)
+    v = d.init(KEY, x, train=True)
+    out, _ = d.apply(v, x, train=True, mutable=["batch_stats"])
+    assert out.shape == (2, 8, 4)
+    p = PatchDiscriminator(dim=8, n_layers=2)
+    v = p.init(KEY, x, train=True)
+    out, _ = p.apply(v, x, train=True, mutable=["batch_stats"])
+    assert out.ndim == 3 and out.shape[0] == 2
+    assert get_discriminator("DCGAN").__class__.__name__ == "DCGANDiscriminator"
+    assert get_discriminator("FCDis").__class__.__name__ == "FCDiscriminator"
+    import pytest
+    with pytest.raises(ValueError):
+        get_discriminator("nope")
+
+
+def test_zoo_modules():
+    from dpig_tpu.models.zoo import (ConvBnLeakyReLU, DCGANGenerator,
+                                     FCGenerator, InstanceNorm, ResBlock,
+                                     ResBottleneckBlock)
+    noise = jnp.zeros((2, 128))
+    g = FCGenerator(out_dim=32 * 16 * 3)
+    out = g.apply(g.init(KEY, noise), noise)
+    assert out.shape == (2, 32 * 16 * 3)
+    assert float(jnp.max(jnp.abs(out))) <= 1.0
+    dg = DCGANGenerator(out_h=32, out_w=32, dim=8)
+    v = dg.init(KEY, noise, train=True)
+    out, _ = dg.apply(v, noise, train=True, mutable=["batch_stats"])
+    assert out.shape == (2, 32, 32, 3)
+    x = jnp.ones((2, 8, 8, 4))
+    for mod in (InstanceNorm(), ResBlock(n2=4, n3=8),
+                ResBottleneckBlock(n2=2, n3=8)):
+        v = mod.init(KEY, x)
+        y = mod.apply(v, x)
+        assert y.shape[0] == 2
+    cb = ConvBnLeakyReLU(out_channel=6)
+    v = cb.init(KEY, x, train=True)
+    y, _ = cb.apply(v, x, train=True, mutable=["batch_stats"])
+    assert y.shape == (2, 8, 8, 6)
