@@ -56,8 +56,9 @@ class Stage1App:
         self.generator = UAEGenerator(
             out_channels=3, z_num=cfg.z_num, repeat_num=gen_repeat,
             hidden_num=cfg.conv_hidden_num, activation=nn.relu, dtype=dtype)
-        self.disc = DCGANDiscriminator(
-            dim=64, n_stages=5 if is_256 else 4, mode=GAN_MODE, dtype=dtype)
+        from ..models.discriminators import get_discriminator
+        self.disc = get_discriminator(cfg.D_arch, n_stages=5 if is_256 else 4,
+                                      mode=GAN_MODE, dtype=dtype)
 
     # ---------------------------------------------------------------- init
     def init_state(self, rng: jax.Array) -> GanState:

@@ -112,6 +112,12 @@ class PatchDiscriminator(nn.Module):
                            padding="VALID", dtype=self.dtype,
                            kernel_init=d_init())(z)
 
+        if x.shape[1] < 2 ** (self.n_layers + 1) or \
+                x.shape[2] < 2 ** (self.n_layers + 1):
+            raise ValueError(
+                f"PatchDiscriminator needs inputs >= "
+                f"{2 ** (self.n_layers + 1)}px per side (got {x.shape}); "
+                "the stride chain would produce an empty logit map")
         x = leaky_relu(conv_reflect(x, self.dim, 2))
         for i in range(self.n_layers):
             ch = self.dim * min(2 ** (i + 1), 8)

@@ -114,7 +114,20 @@ def test_model(cfg: Config) -> None:
                        cfg.demo_all_peaks_path, cfg.demo_subsets_path)
         return
     loader = make_loader(cfg)
-    if (cfg.interpolate_fg or cfg.interpolate_fg_up or cfg.interpolate_fg_down
+    if cfg.inverse_fg or cfg.inverse_bg or cfg.inverse_pose:
+        import jax
+        import jax.numpy as jnp
+        from dpig_tpu.apps.inversion import InversionTool
+        tool = InversionTool(cfg)
+        batch = next(loader)
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        zf, zb, loss = tool.invert(jb, jax.random.PRNGKey(cfg.random_seed),
+                                   invert_bg=cfg.inverse_bg)
+        import numpy as np
+        out = f"{cfg.model_dir}/inverted_z.npz"
+        np.savez(out, z_fg=np.asarray(zf), z_bg=np.asarray(zb))
+        print(f"[*] inversion loss {float(loss):.6f}; saved {out}")
+    elif (cfg.interpolate_fg or cfg.interpolate_fg_up or cfg.interpolate_fg_down
             or cfg.interpolate_bg or cfg.interpolate_pose):
         testers.InterpolationTester(cfg).run(loader)
     elif model in (11,):

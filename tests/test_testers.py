@@ -122,3 +122,18 @@ def test_factor_sampling_256_single_mapper(tmp_path):
     jb = {k: jnp.asarray(v) for k, v in batch.items()}
     g, pose, score = t.sample_step(jb, jax.random.PRNGKey(0))
     assert g.shape == (2, 256, 256, 3)
+
+
+def test_inversion_tool(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from dpig_tpu.apps.inversion import InversionTool
+    cfg = small_cfg(tmp_path)
+    tool = InversionTool(cfg)
+    batch = next(SyntheticLoader(cfg.batch_size, cfg.img_H, cfg.img_W, seed=9))
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    # loss after optimization should be far below the initial random loss
+    zf0, zb0, loss0 = tool.invert(jb, jax.random.PRNGKey(0), steps=1)
+    zf, zb, loss = tool.invert(jb, jax.random.PRNGKey(0), steps=200)
+    assert zf.shape == (cfg.batch_size, 7 * 32)
+    assert float(loss) < float(loss0) * 0.5, (float(loss0), float(loss))
