@@ -71,7 +71,12 @@ class _TesterBase:
         merged = ckpt.compose_pretrained(cfg)
         missing = self.REQUIRED - set(merged)
         if missing:
-            # Cold start (tests): init fresh nets for the missing parts.
+            # Cold start (tests / smoke runs): init fresh nets for the
+            # missing parts — loudly, so a production run with forgotten
+            # --pretrained_* flags is obvious.
+            print(f"[!] {type(self).__name__}: no pretrained weights for "
+                  f"{sorted(missing)} — using RANDOM init (pass the "
+                  "--pretrained_* flags for real inference)", flush=True)
             merged = {**self._fresh_params(), **merged}
         return merged
 

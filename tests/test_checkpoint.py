@@ -77,3 +77,22 @@ def test_compose_pretrained_flags(tmp_path):
     cfg = small_cfg(tmp_path / "x", pretrained_path=p1)
     merged = ckpt.compose_pretrained(cfg)
     assert set(merged) == {"Encoder", "ID_AE"}
+
+
+def test_harness_auto_resume(tmp_path):
+    """Trainer picks up the newest checkpoint without --ckpt_path."""
+    from dpig_tpu.data.synthetic import SyntheticLoader
+    from dpig_tpu.train.harness import Trainer
+
+    cfg = small_cfg(tmp_path / "m", max_step=2, log_step=1)
+    app = Stage1App(cfg)
+    loader = SyntheticLoader(cfg.batch_size, cfg.img_H, cfg.img_W, seed=1)
+    t = Trainer(cfg, app, loader, use_mesh=False)
+    state = t.train()
+    assert int(state.step) == 2
+
+    # second trainer resumes from the saved final checkpoint
+    cfg2 = small_cfg(tmp_path / "m", max_step=3, log_step=1)
+    t2 = Trainer(cfg2, Stage1App(cfg2), loader, use_mesh=False)
+    s2 = t2.init_state(jax.random.PRNGKey(5))
+    assert int(s2.step) == 2

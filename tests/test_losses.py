@@ -71,3 +71,25 @@ def test_bernoulli_sample_ste():
     assert abs(np.asarray(s).mean() - 0.6) < 0.03
     g = jax.grad(lambda p: jnp.sum(bernoulli_sample(p, KEY)))(x)
     np.testing.assert_allclose(np.asarray(g), 1.0)
+
+
+def test_wgan_gp_double_backward_through_conv_critic():
+    """SURVEY §7 risk item: GP needs grad-of-grad through a LayerNorm conv
+    discriminator. Verify d_loss('wgan-gp') is differentiable w.r.t. D
+    params with an image critic."""
+    from dpig_tpu.models.discriminators import DCGANDiscriminator
+    d = DCGANDiscriminator(dim=4, n_stages=4, mode="wgan-gp")
+    x_real = jax.random.normal(KEY, (2, 64, 32, 3))
+    x_fake = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 32, 3))
+    params = d.init(KEY, x_real, train=True)["params"]
+
+    def d_loss_fn(p):
+        critic = lambda z: d.apply({"params": p}, z, train=True)  # noqa: E731
+        return gan.d_loss("wgan-gp", critic(x_real), critic(x_fake),
+                          critic_fn=critic, real_data=x_real,
+                          fake_data=x_fake, rng=KEY)
+
+    loss, grads = jax.value_and_grad(d_loss_fn)(params)
+    assert np.isfinite(float(loss))
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
