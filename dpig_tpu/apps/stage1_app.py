@@ -22,7 +22,7 @@ from flax import linen as nn
 
 from ..config import Config
 from ..losses import gan
-from ..models.discriminators import DCGANDiscriminator
+from ..models.discriminators import get_discriminator
 from ..models.encoders import RoiEncoder, RoiEncoderFgBg, tile_embedding
 from ..models.generator import UAEGenerator
 from ..train.state import GanState, make_optimizer
@@ -56,7 +56,6 @@ class Stage1App:
         self.generator = UAEGenerator(
             out_channels=3, z_num=cfg.z_num, repeat_num=gen_repeat,
             hidden_num=cfg.conv_hidden_num, activation=nn.relu, dtype=dtype)
-        from ..models.discriminators import get_discriminator
         self.disc = get_discriminator(cfg.D_arch, n_stages=5 if is_256 else 4,
                                       mode=GAN_MODE, dtype=dtype)
 

@@ -140,7 +140,8 @@ def convert_pairs(img_dir: str, pairs, labels, all_peaks: Dict, subsets: Dict,
 def run(dataset: str, img_dir: str, pose_dir: str, out_dir: str,
         split: str = "train", height: Optional[int] = None,
         width: Optional[int] = None, flip_augment: bool = True,
-        test_cap: Optional[int] = None) -> int:
+        test_cap: Optional[int] = None,
+        max_pairs: Optional[int] = None) -> int:
     """dataset: 'market' | 'df' | 'rcv'.
 
     'rcv' is the generic converter (reference convert_RCV.py): pose_dir is
@@ -175,6 +176,11 @@ def run(dataset: str, img_dir: str, pose_dir: str, out_dir: str,
 
     pairs = list(p_pairs) + list(n_pairs)
     labels = [1] * len(p_pairs) + [0] * len(n_pairs)
+    if max_pairs is not None and len(pairs) > max_pairs:
+        # deterministic subsample (keeps pos/neg mix via stride)
+        stride = max(1, len(pairs) // max_pairs)
+        pairs = pairs[::stride][:max_pairs]
+        labels = labels[::stride][:max_pairs]
     if split.startswith("test"):
         cap = test_cap if test_cap is not None else (
             MARKET_TEST_CAP if is_market else None)

@@ -59,6 +59,12 @@ class GanState(struct.PyTreeNode):
     @classmethod
     def create(cls, *, g_params, d_params, g_tx, d_tx, d_stats=None,
                frozen_params=None, step=0):
+        if frozen_params is not None:
+            # Private copy: train steps donate the whole state, which would
+            # otherwise delete the caller's buffers (e.g. a restored
+            # checkpoint subtree shared across several stages).
+            frozen_params = jax.tree_util.tree_map(
+                lambda x: jnp.array(x, copy=True), frozen_params)
         return cls(
             step=jnp.asarray(step, jnp.int32),
             g_params=g_params,

@@ -96,3 +96,34 @@ def test_harness_auto_resume(tmp_path):
     t2 = Trainer(cfg2, Stage1App(cfg2), loader, use_mesh=False)
     s2 = t2.init_state(jax.random.PRNGKey(5))
     assert int(s2.step) == 2
+
+
+def test_frozen_params_survive_donation(tmp_path):
+    """Train steps donate their state; a restored frozen subtree shared by
+    two stages must not be deleted by the first stage's step (regression:
+    'Array has been deleted')."""
+    from dpig_tpu.apps.stage2_app import Stage2AppApp
+    from dpig_tpu.apps.stage2_pose import Stage2PoseApp
+    from dpig_tpu.apps.stage1_pose import Stage1PoseApp
+    from dpig_tpu.data.synthetic import SyntheticLoader
+
+    cfg = small_cfg(tmp_path / "s1")
+    s1 = Stage1App(cfg).init_state(jax.random.PRNGKey(0))
+    p1 = ckpt.save_checkpoint(cfg.model_dir, 0, s1)
+    pose = Stage1PoseApp(cfg).init_state(jax.random.PRNGKey(1))
+    p2 = ckpt.save_checkpoint(str(tmp_path / "pae"), 0, pose)
+
+    frozen = ckpt.restore_subtrees(p1, ["Encoder", "ID_AE"])
+    batch = next(SyntheticLoader(cfg.batch_size, cfg.img_H, cfg.img_W, seed=2))
+
+    app3 = Stage2AppApp(cfg)
+    st3 = app3.init_state(jax.random.PRNGKey(2), frozen_params=frozen)
+    st3, _ = app3.train_step(st3, dict(batch), jax.random.PRNGKey(3))
+
+    # reuse the SAME restored subtree for the next stage
+    frozen4 = dict(ckpt.restore_subtrees(p2, ["PoseAE"]))
+    frozen4.update(frozen)
+    app4 = Stage2PoseApp(cfg)
+    st4 = app4.init_state(jax.random.PRNGKey(4), frozen_params=frozen4)
+    st4, m = app4.train_step(st4, dict(batch), jax.random.PRNGKey(5))
+    assert np.isfinite(float(m["g_loss_embs"]))
