@@ -53,7 +53,8 @@ class Stage1App:
                 part_num=cfg.roi_part_num, z_num=cfg.roi_z_num,
                 repeat_num=enc_repeat, hidden_num=cfg.conv_hidden_num,
                 roi_size=roi_size, activation=nn.relu, dtype=dtype)
-        self.generator = UAEGenerator(
+        gen_cls = nn.remat(UAEGenerator) if cfg.remat else UAEGenerator
+        self.generator = gen_cls(
             out_channels=3, z_num=cfg.z_num, repeat_num=gen_repeat,
             hidden_num=cfg.conv_hidden_num, activation=nn.relu, dtype=dtype)
         self.disc = get_discriminator(cfg.D_arch, n_stages=5 if is_256 else 4,

@@ -218,9 +218,16 @@ class FullSamplingTester(_TesterBase):
             g, pose_maps, score = self.sample_step(jb, sub, pose_source)
             _save_batch_pngs(dirs, {
                 "x": (np.asarray(batch["x"]) + 1) * 127.5,
-                "G": np.asarray(g),
                 "pose": pose_to_gray(np.asarray(pose_maps)),
             }, i * cfg.batch_size)
+            # G filenames carry the discriminator score (tester.py:185)
+            g_np = np.asarray(g)
+            s_np = np.asarray(score)
+            for j in range(g_np.shape[0]):
+                idx = i * cfg.batch_size + j
+                Image.fromarray(np.clip(g_np[j], 0, 255).astype(
+                    np.uint8)).save(os.path.join(
+                        dirs["G"], f"{idx:05d}_score{float(s_np[j]):.3f}.png"))
         return out_root
 
 

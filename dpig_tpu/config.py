@@ -91,6 +91,7 @@ class Config:
     roi_part_num: int = 7               # parts actually encoded (trainer.py:576)
     roi_z_num: int = 32                 # trainer.py:581 hardcodes 32
     synthetic_data: bool = False        # run on generated fixtures (no tfrecords)
+    remat: bool = False                 # rematerialize generator activations
     demo_img_dir: Optional[str] = None  # test_one_by_one inputs
     demo_pair_path: Optional[str] = None
     demo_all_peaks_path: Optional[str] = None
