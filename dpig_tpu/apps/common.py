@@ -1,7 +1,7 @@
 """Shared glue for the model apps (trainer-class equivalents)."""
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -12,8 +12,6 @@ from __future__ import annotations
 import os
 import pickle
 import random
-from typing import Optional
-
 import numpy as np
 import jax.numpy as jnp
 from PIL import Image

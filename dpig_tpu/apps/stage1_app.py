@@ -14,7 +14,7 @@ are rasterized on-device from the 54-float rcv coords.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ Schema notes preserved from the reference:
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

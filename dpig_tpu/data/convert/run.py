@@ -23,7 +23,7 @@ import io
 import os
 import pickle
 import random
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 from PIL import Image

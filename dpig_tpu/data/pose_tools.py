@@ -17,7 +17,7 @@ matching skimage.morphology's defaults).
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 from scipy.ndimage import grey_dilation, grey_erosion

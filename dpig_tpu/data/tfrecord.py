@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import os
 import struct
-from typing import Iterator, List, Optional
+from typing import Iterator, List
 
 try:
     import google_crc32c

@@ -12,7 +12,7 @@ cannot be downloaded in a zero-egress environment:
 from __future__ import annotations
 
 import os
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, Sequence, Tuple
 
 import numpy as np
 

@@ -15,8 +15,6 @@ re-implemented here and unit-tested against the published algorithms:
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 from scipy.ndimage import uniform_filter
 

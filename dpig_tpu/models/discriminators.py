@@ -13,8 +13,6 @@ Discriminator weights use normal(0.02) init (tflib set_weights_stdev(0.02)).
 """
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -13,7 +13,7 @@ MXU instead of P small ones.
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ expressed as a closed-form optax schedule lr * 0.5^(step // interval).
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
