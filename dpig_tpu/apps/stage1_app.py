@@ -76,8 +76,7 @@ class Stage1App:
             enc_vars = (self.encoder.init(r_enc, x, mask, bbox, vis)
                         if self.fg_bg else self.encoder.init(r_enc, x, bbox, vis))
             embs = self._encode(enc_vars["params"], x, mask, bbox, vis)
-            gen_vars = self.generator.init(
-                r_gen, tile_embedding(embs, cfg.img_H, cfg.img_W), pose)
+            gen_vars = self.generator.init(r_gen, None, pose, embs_const=embs)
             disc_vars = self.disc.init(r_disc, x, train=True)
             return enc_vars, gen_vars, disc_vars
 
@@ -98,11 +97,10 @@ class Stage1App:
         return self.encoder.apply({"params": enc_params}, x, bbox, vis)
 
     def g_forward(self, g_params, x, pose, mask, bbox, vis):
-        cfg = self.cfg
         embs = self._encode(g_params["Encoder"], x, mask, bbox, vis)
-        embs_rep = tile_embedding(embs, cfg.img_H, cfg.img_W)
+        # embs_const: exact stem decomposition, no tiled-map materialization
         g_raw, z = self.generator.apply({"params": g_params["ID_AE"]},
-                                        embs_rep, pose)
+                                        None, pose, embs_const=embs)
         return g_raw.astype(jnp.float32), embs
 
     def _disc_apply(self, d_params, d_stats, img, train=True):

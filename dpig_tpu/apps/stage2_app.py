@@ -166,7 +166,7 @@ class Stage2AppApp:
         app = jnp.concatenate([
             jnp.concatenate([fix_fg, vary_fg], axis=0),
             jnp.concatenate([vary_bg, fix_bg], axis=0)], axis=-1)
-        embs_rep = tile_embedding(app, cfg.img_H, cfg.img_W)
         g_raw, _ = self.stage1.generator.apply(
-            {"params": state.frozen_params["ID_AE"]}, embs_rep, pose)
+            {"params": state.frozen_params["ID_AE"]}, None, pose,
+            embs_const=app)
         return jnp.clip((g_raw.astype(jnp.float32) + 1.0) * 127.5, 0.0, 255.0)

@@ -105,7 +105,7 @@ class Stage2AppSingleApp:
         b = batch["x"].shape[0]
         pose = pose_maps_from_batch(batch, cfg)
         app = self.sample_embs(state.g_params, rng, b)
-        embs_rep = tile_embedding(app, cfg.img_H, cfg.img_W)
         g_raw, _ = self.stage1.generator.apply(
-            {"params": state.frozen_params["ID_AE"]}, embs_rep, pose)
+            {"params": state.frozen_params["ID_AE"]}, None, pose,
+            embs_const=app)
         return jnp.clip((g_raw.astype(jnp.float32) + 1.0) * 127.5, 0.0, 255.0)

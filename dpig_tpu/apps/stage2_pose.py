@@ -139,7 +139,7 @@ class Stage2PoseApp:
                                  cfg.roi_part_num)
         embs = self.stage1._encode(state.frozen_params["Encoder"], batch["x"],
                                    batch["mask_r6"], bbox, vis)
-        embs_rep = tile_embedding(embs, cfg.img_H, cfg.img_W)
         g_raw, _ = self.stage1.generator.apply(
-            {"params": state.frozen_params["ID_AE"]}, embs_rep, pose_maps)
+            {"params": state.frozen_params["ID_AE"]}, None, pose_maps,
+            embs_const=embs)
         return jnp.clip((g_raw.astype(jnp.float32) + 1.0) * 127.5, 0.0, 255.0)

@@ -111,10 +111,9 @@ class _TesterBase:
                                    batch["mask_r6"], bbox, vis)
 
     def _generate(self, embs, pose_maps):
-        cfg = self.cfg
-        embs_rep = tile_embedding(embs, cfg.img_H, cfg.img_W)
         g_raw, _ = self.stage1.generator.apply(
-            {"params": self.params["ID_AE"]}, embs_rep, pose_maps)
+            {"params": self.params["ID_AE"]}, None, pose_maps,
+            embs_const=embs)
         return g_raw.astype(jnp.float32)
 
     def _disc_score(self, g_raw):

@@ -13,6 +13,52 @@ from ..ops.image import upscale_nn
 from .layers import ConvBlockTower, Dtype, xavier
 
 
+def _constant_input_stem(kernel, bias, embs, pose, dtype):
+    """Exact stem conv for concat(tile(embs), pose) without the tiled map.
+
+    kernel: [3,3,D+P,hid]; embs: [B,D]; pose: [B,H,W,P].
+    conv(tile(e))[i,j] = e @ (sum of kernel taps valid at (i,j)) — with
+    SAME padding the valid-tap set has 9 border classes (3 row x 3 col),
+    so the embedding contributes 9 per-sample bias vectors selected by
+    position. The pose channels are convolved normally.
+    """
+    d = embs.shape[-1]
+    b = embs.shape[0]
+    _, h, w, _p = pose.shape
+    hid = kernel.shape[-1]
+    k_emb = kernel[:, :, :d, :].astype(jnp.float32)       # [3,3,D,hid]
+    k_pose = kernel[:, :, d:, :].astype(dtype)
+
+    pose_part = jax.lax.conv_general_dilated(
+        pose.astype(dtype), k_pose, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    # T[r, c] = sum over taps valid for row-class r / col-class c.
+    # row class 0 = top (kernel row 0 falls outside), 1 = interior,
+    # 2 = bottom; same for columns. Tap (kr, kc) with offset kr-1:
+    # top rows exclude kr=0, bottom rows exclude kr=2.
+    def class_slices(idx):
+        return {0: slice(1, 3), 1: slice(0, 3), 2: slice(0, 2)}[idx]
+
+    t = jnp.stack([
+        jnp.stack([k_emb[class_slices(r), class_slices(c)].sum((0, 1))
+                   for c in range(3)]) for r in range(3)])   # [3,3,D,hid]
+    biases = jnp.einsum("bd,rcdh->brch", embs.astype(jnp.float32), t)
+
+    def row_block(r, rows):
+        left = jnp.broadcast_to(biases[:, r, 0, None, None, :],
+                                (b, rows, 1, hid))
+        midc = jnp.broadcast_to(biases[:, r, 1, None, None, :],
+                                (b, rows, w - 2, hid))
+        right = jnp.broadcast_to(biases[:, r, 2, None, None, :],
+                                 (b, rows, 1, hid))
+        return jnp.concatenate([left, midc, right], axis=2)
+
+    bias_map = jnp.concatenate(
+        [row_block(0, 1), row_block(1, h - 2), row_block(2, 1)], axis=1)
+    return pose_part + bias_map.astype(dtype) + bias.astype(dtype)
+
+
 class UAEGenerator(nn.Module):
     """Encoder(skips) -> FC z bottleneck -> decoder with skip concat.
 
@@ -32,13 +78,41 @@ class UAEGenerator(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, pose=None, *, rng=None):
-        act = self.activation
-        if pose is not None:
-            x = jnp.concatenate([x, pose.astype(x.dtype)], axis=-1)
+    def __call__(self, x, pose=None, *, rng=None, embs_const=None):
+        """Either `x` is an [B,H,W,C] map (general path), or `embs_const`
+        is a [B,D] per-sample constant whose tiled map would be the input
+        — the DPIG case (trainer.py:588-590 tiles the embedding over HxW).
 
-        x = act(nn.Conv(self.hidden_num, (3, 3), dtype=self.dtype,
-                        kernel_init=xavier())(x))
+        With `embs_const`, the stem conv is decomposed exactly: a
+        spatially-constant input contributes only a per-sample bias whose
+        value depends on the SAME-padding border class (9 classes for a
+        3x3 kernel), so the 352-channel map is never materialized and the
+        stem convolves only the 18 pose channels — ~8% of generator FLOPs
+        and the map's HBM traffic saved, bit-compatible gradients included.
+        """
+        act = self.activation
+        if embs_const is not None:
+            assert x is None and pose is not None
+            in_ch = embs_const.shape[-1] + pose.shape[-1]
+            kernel = self.param(
+                "stem_kernel", xavier(), (3, 3, in_ch, self.hidden_num))
+            bias = self.param("stem_bias", nn.initializers.zeros,
+                              (self.hidden_num,))
+            x = _constant_input_stem(kernel, bias, embs_const, pose,
+                                     self.dtype)
+        else:
+            if pose is not None:
+                x = jnp.concatenate([x, pose.astype(x.dtype)], axis=-1)
+            in_ch = x.shape[-1]
+            kernel = self.param(
+                "stem_kernel", xavier(), (3, 3, in_ch, self.hidden_num))
+            bias = self.param("stem_bias", nn.initializers.zeros,
+                              (self.hidden_num,))
+            x = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype), (1, 1),
+                "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            ) + bias.astype(self.dtype)
+        x = act(x)
         x, skips = ConvBlockTower(self.repeat_num, self.hidden_num, act,
                                   collect_skips=True, dtype=self.dtype)(x)
 

@@ -155,3 +155,21 @@ def test_zoo_modules():
     v = cb.init(KEY, x, train=True)
     y, _ = cb.apply(v, x, train=True, mutable=["batch_stats"])
     assert y.shape == (2, 8, 8, 6)
+
+
+def test_uae_generator_constant_stem_equivalence():
+    """embs_const path == tiled-map path (exact stem decomposition)."""
+    import numpy as np
+    gen = UAEGenerator(out_channels=3, z_num=16, repeat_num=REPEAT,
+                       hidden_num=HID)
+    rng = np.random.default_rng(0)
+    embs = jnp.asarray(rng.standard_normal((B, 52)).astype(np.float32))
+    pose = jnp.asarray(rng.standard_normal((B, H, W, 18)).astype(np.float32))
+    x = tile_embedding(embs, H, W)
+    vars_ = gen.init(KEY, x, pose)
+    out_a, z_a = gen.apply(vars_, x, pose)
+    out_b, z_b = gen.apply(vars_, None, pose, embs_const=embs)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(z_a), np.asarray(z_b),
+                               rtol=1e-4, atol=1e-4)
