@@ -23,7 +23,7 @@ from flax import linen as nn
 from ..config import Config
 from ..losses import gan
 from ..models.discriminators import get_discriminator
-from ..models.encoders import RoiEncoder, RoiEncoderFgBg, tile_embedding
+from ..models.encoders import RoiEncoder, RoiEncoderFgBg
 from ..models.generator import UAEGenerator
 from ..train.state import GanState, make_optimizer
 from .common import l1_loss, masked_l1_loss, pose_maps_from_batch, select_parts

@@ -27,7 +27,6 @@ from flax import linen as nn
 from ..config import Config
 from ..losses import gan
 from ..models.discriminators import FCDiscriminator
-from ..models.encoders import tile_embedding
 from ..models.mappers import GaussianMapper, sample_mapper_noise
 from ..train.state import GanState, make_optimizer
 from .common import pose_maps_from_batch, select_parts

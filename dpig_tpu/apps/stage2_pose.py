@@ -22,7 +22,6 @@ import jax.numpy as jnp
 from ..config import Config
 from ..losses import gan
 from ..models.discriminators import FCDiscriminator
-from ..models.encoders import tile_embedding
 from ..models.mappers import GaussianMapper, sample_mapper_noise
 from ..ops.pose import pose_rcv_normalize, render_pose_maps
 from ..train.state import GanState, make_optimizer

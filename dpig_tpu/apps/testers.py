@@ -27,7 +27,6 @@ from PIL import Image
 
 from ..config import Config
 from ..eval.metrics import ssim_images
-from ..models.encoders import tile_embedding
 from ..models.mappers import GaussianMapper, sample_mapper_noise
 from ..ops.pose import pose_rcv_normalize, render_pose_maps
 from ..train import checkpoint as ckpt
