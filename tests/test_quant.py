@@ -1,0 +1,68 @@
+"""int8 generator path: float re-implementation == module apply; quantized
+output within PTQ tolerance; conv/upscale reorder exactness."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dpig_tpu.models.generator import UAEGenerator
+from dpig_tpu.models import quant
+
+B, H, W = 2, 32, 16
+REPEAT, HID, Z = 3, 8, 16
+
+
+def _setup(rng):
+    gen = UAEGenerator(out_channels=3, z_num=Z, repeat_num=REPEAT,
+                       hidden_num=HID)
+    embs = jnp.asarray(rng.standard_normal((B, 52)).astype(np.float32))
+    pose = jnp.asarray(rng.standard_normal((B, H, W, 18)).astype(np.float32))
+    params = gen.init(jax.random.PRNGKey(0), None, pose,
+                      embs_const=embs)["params"]
+    return gen, params, embs, pose
+
+
+def test_float_forward_matches_module(rng):
+    gen, params, embs, pose = _setup(rng)
+    out_mod, z_mod = gen.apply({"params": params}, None, pose,
+                               embs_const=embs)
+    out_fn, z_fn = quant.uae_forward(params, embs, pose, REPEAT, HID)
+    np.testing.assert_allclose(np.asarray(out_mod), np.asarray(out_fn),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(z_mod), np.asarray(z_fn),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_quantized_forward_close_to_float(rng):
+    gen, params, embs, pose = _setup(rng)
+    q = quant.QuantizedGenerator(params, REPEAT, HID)
+    q.calibrate([embs], [pose])
+    out_f, _ = quant.uae_forward(params, embs, pose, REPEAT, HID)
+    out_q, _ = q(embs, pose)
+    out_f = np.asarray(out_f)
+    out_q = np.asarray(out_q)
+    # PTQ on a random (untrained) net: expect small relative error
+    rel = np.abs(out_q - out_f).mean() / (np.abs(out_f).mean() + 1e-9)
+    assert rel < 0.15, rel
+    # and strong correlation
+    cc = np.corrcoef(out_f.ravel(), out_q.ravel())[0, 1]
+    assert cc > 0.99, cc
+
+
+def test_layer_name_enumeration():
+    enc = quant.enc_layer_names(3)
+    assert [n for _, n in enc] == [f"Conv_{i}" for i in range(8)]
+    assert [k for k, _ in enc] == ["res", "res", "down", "res", "res",
+                                   "down", "res", "res"]
+    dec = quant.dec_layer_names(3)
+    assert [k for k, _ in dec] == ["res", "res", "up1x1", "res", "res",
+                                   "up1x1", "res", "res"]
+
+
+def test_conv_upscale_commute(rng):
+    """1x1 conv then NN-upscale == NN-upscale then 1x1 conv (exact)."""
+    from dpig_tpu.ops.image import upscale_nn
+    x = jnp.asarray(rng.standard_normal((2, 4, 4, 6)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 1, 6, 5)).astype(np.float32))
+    a = quant._conv(upscale_nn(x, 2), k)
+    b = upscale_nn(quant._conv(x, k), 2)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
