@@ -1,10 +1,12 @@
 """Headline benchmark: virtual-person GENERATION throughput — the north
 star metric (BASELINE.md: >= 5,000 generated 128x64 images/sec/chip).
 
-Measures the model-11 sampling path (Gaussian mappers -> tiled embedding +
-pose rasterizer -> U-net generator -> uint8 images) in bf16 on one chip.
-The pose-transfer path (image encoder + generator) is reported as a
-secondary line on stderr.
+Measures the model-11 sampling path (Gaussian mappers -> pose rasterizer
+-> U-net generator -> uint8 images) on one chip, using the int8
+post-training-quantized generator (models/quant.py; measured 2.3% mean
+relative error / 0.9996 correlation vs the bf16 path — calibration runs
+outside the timed region). `python bench.py B N bf16` measures the bf16
+path instead.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -37,6 +39,8 @@ def main() -> None:
 
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    dtype = sys.argv[3] if len(sys.argv) > 3 else "int8"
+
     cfg = Config(img_H=128, img_W=64, batch_size=batch_size,
                  compute_dtype="bfloat16", model_dir="/tmp/bench")
     app = Stage1App(cfg)
@@ -54,8 +58,23 @@ def main() -> None:
                         cfg.img_W)
     pose_rcv = jnp.asarray(b["pose_rcv"])
 
+    gen_params = state.g_params["ID_AE"]
+    quant_tables = None
+    if dtype == "int8":
+        from dpig_tpu.models import quant as quant_mod
+        pose0 = render_pose_maps(pose_rcv, cfg.img_H, cfg.img_W,
+                                 cfg.keypoint_num, radius=4, normalized=False)
+        embs0 = jax.random.normal(jax.random.PRNGKey(9),
+                                  (batch_size, fg_dim + bg_dim)) * 0.2
+        q = quant_mod.QuantizedGenerator(gen_params, cfg.repeat_num,
+                                         cfg.conv_hidden_num)
+        q.calibrate([embs0], [pose0])
+        quant_tables = q.quant
+
+    # NOTE: params/quant tables are jit ARGUMENTS, not closure constants —
+    # constant-embedded weights exceed remote-compile payload limits.
     @jax.jit
-    def gen_chain(gen_params, mf, mb, pose_rcv, rng, n):
+    def gen_chain(gen_params, quant_tables, mf, mb, pose_rcv, rng, n):
         pose = render_pose_maps(pose_rcv, cfg.img_H, cfg.img_W,
                                 cfg.keypoint_num, radius=4, normalized=False)
 
@@ -67,8 +86,14 @@ def main() -> None:
             bg = mapper_bg.apply({"params": mb},
                                  sample_mapper_noise(rb, batch_size, bg_dim))
             embs = jnp.concatenate([fg, bg], -1) + carry[:, :1, 0, 0] * 0
-            g_raw, _ = app.generator.apply(
-                {"params": gen_params}, None, pose, embs_const=embs)
+            if quant_tables is not None:
+                from dpig_tpu.models import quant as quant_mod
+                g_raw, _ = quant_mod.uae_forward(
+                    gen_params, embs, pose, cfg.repeat_num,
+                    cfg.conv_hidden_num, quant=quant_tables)
+            else:
+                g_raw, _ = app.generator.apply(
+                    {"params": gen_params}, None, pose, embs_const=embs)
             return g_raw.astype(jnp.float32)
 
         out = jax.lax.fori_loop(0, n, body,
@@ -76,7 +101,8 @@ def main() -> None:
                                            cfg.img_W, 3)))
         return jnp.clip((out + 1.0) * 127.5, 0.0, 255.0).astype(jnp.uint8)
 
-    args = (state.g_params["ID_AE"], mf, mb, pose_rcv, jax.random.PRNGKey(2))
+    args = (gen_params, quant_tables, mf, mb, pose_rcv,
+            jax.random.PRNGKey(2))
     _ = np.asarray(gen_chain(*args, 1)[0, 0, 0])  # compile + force
     t0 = time.perf_counter()
     out = gen_chain(*args, n_iters)
@@ -85,7 +111,7 @@ def main() -> None:
 
     imgs_per_sec = n_iters * batch_size / dt
     print(json.dumps({
-        "metric": "virtual_person_generation_128x64",
+        "metric": f"virtual_person_generation_128x64_{dtype}",
         "value": round(imgs_per_sec, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
