@@ -3,31 +3,31 @@ checkpoints (Market/DF) into this framework's param trees.
 
 The reference persists variables under two naming conventions
 (SURVEY §5.4):
-  * slim-scoped G-side nets: e.g. 'Encoder/G_encoder/Conv_3/weights'
-    (scopes Encoder/ID_AE/PoseAE/PoseGaussian/Gaussian_FC_{Fg,Bg};
-    slim auto-numbers Conv/Conv_1/... and fully_connected/... in creation
-    order within each scope)
-  * tflib flat registry names for discriminators:
-    'Discriminator.1.Filters', 'Discriminator.Output.W', ...
+  * slim-scoped G-side nets: e.g. 'Encoder/G_encoder/Conv_3/weights'.
+    slim auto-numbers Conv/Conv_1/... and fully_connected/... per
+    variable_scope IN CREATION ORDER, convs and FCs in separate families.
+  * tflib flat registry names for discriminators
+    ('Discriminator.1.Filters', ...) — not imported (scores only).
 
-Both our flax modules and slim create variables in the same graph order
-(the module code mirrors the reference layer-for-layer), so the mapping is
-POSITIONAL within each (scope, kind) stream: the i-th reference conv/FC
-kernel in a scope pairs with the i-th flax Conv/Dense kernel in our
-params subtree, with shape equality enforced at every pairing. Layouts
-match (TF HWIO convs, [in,out] matmuls, NHWC nets — main.py:15-18 forces
-NHWC).
+Pairing is positional per (scope, family): the i-th reference conv/FC
+kernel pairs with the i-th flax conv/dense kernel IN MODULE CREATION
+ORDER. flax param dicts iterate alphabetically, which does NOT match
+creation order, so each module kind has an explicit order table below
+(validated structurally: count + shape equality enforced at every
+pairing — a mismatch fails loudly, never guesses).
 
-Weights whose shapes disagree fail loudly — this shim never guesses.
+Layouts match (TF HWIO convs, [in,out] matmuls, NHWC nets — reference
+main.py:15-18 forces NHWC).
 """
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
 
+# --------------------------------------------------------------- reference
 def load_tf1_variables(ckpt_path: str) -> Dict[str, np.ndarray]:
     """Read all variables from a TF1 checkpoint (requires tensorflow)."""
     import tensorflow as tf
@@ -35,11 +35,11 @@ def load_tf1_variables(ckpt_path: str) -> Dict[str, np.ndarray]:
     shapes = reader.get_variable_to_shape_map()
     return {name: reader.get_tensor(name) for name in shapes
             if not name.endswith(("Adam", "Adam_1", "RMSProp", "RMSProp_1"))
-            and "beta1_power" not in name and "beta2_power" not in name}
+            and "power" not in name}
 
 
 def _slim_sort_key(name: str) -> Tuple:
-    """Order slim auto-numbered names by creation: Conv < Conv_1 < Conv_2."""
+    """Creation order for slim auto-numbered names: Conv < Conv_1 < Conv_10."""
     parts = []
     for seg in name.split("/"):
         m = re.match(r"^(.*?)(?:_(\d+))?$", seg)
@@ -47,96 +47,171 @@ def _slim_sort_key(name: str) -> Tuple:
     return tuple(parts)
 
 
-def _ref_kernel_stream(var_dict: Dict[str, np.ndarray], scope: str
-                       ) -> List[Tuple[str, np.ndarray, np.ndarray]]:
-    """(name, kernel, bias) triples for a scope, in creation order."""
-    out = []
+def ref_kernel_stream(var_dict: Dict[str, np.ndarray], scope: str
+                      ) -> List[Tuple[str, np.ndarray, Optional[np.ndarray]]]:
+    """(name, kernel, bias) in creation order for a scope — convs first
+    (slim 'Conv*' sorts before 'fully_connected*'), each family in
+    creation order."""
     prefix = scope + "/"
     kernels = sorted(
         (n for n in var_dict
-         if n.startswith(prefix) and n.endswith(("weights", "W"))),
+         if n.startswith(prefix) and n.endswith("weights")),
         key=_slim_sort_key)
+    out = []
     for kn in kernels:
         base = kn.rsplit("/", 1)[0]
-        bias = var_dict.get(base + "/biases", var_dict.get(base + "/b"))
-        out.append((kn, var_dict[kn], bias))
+        out.append((kn, var_dict[kn], var_dict.get(base + "/biases")))
     return out
 
 
-def _flax_kernel_stream(params: Any, path: str = ""
-                        ) -> List[Tuple[str, Dict]]:
-    """(path, leaf-dict) for every flax Conv/Dense module, in insertion
-    order (flax FrozenDict/dict preserves creation order)."""
-    out = []
-    if isinstance(params, dict) and "kernel" in params:
-        return [(path, params)]
-    if isinstance(params, dict):
-        for k, v in params.items():
-            out.extend(_flax_kernel_stream(v, f"{path}/{k}" if path else k))
-    return out
+# ------------------------------------------------------------- flax orders
+def _nat(p: str) -> Tuple:
+    return tuple(int(s) if s.isdigit() else s for s in re.split(r"(\d+)", p))
 
 
-def import_scope(var_dict: Dict[str, np.ndarray], scope: str,
+def _tower_convs(tree: Dict, prefix: str) -> List[str]:
+    names = sorted((k for k in tree if k.startswith("Conv_")), key=_nat)
+    return [f"{prefix}/{n}" for n in names]
+
+
+def _trunk_denses(tree: Dict, prefix: str) -> List[str]:
+    names = sorted((k for k in tree if k.startswith("Dense_")), key=_nat)
+    return [f"{prefix}/{n}" for n in names]
+
+
+def flax_stream_order(kind: str, params: Dict) -> List[str]:
+    """Kernel paths in MODULE CREATION ORDER, convs first then denses —
+    matching ref_kernel_stream's family ordering.
+
+    kinds: 'mapper' (GaussianMapper / PoseEncoderFC),
+           'pose_decoder' (PoseDecoderFC),
+           'uae_generator' (UAEGenerator; 'stem' = raw stem_kernel/bias),
+           'roi_encoder_fgbg' (RoiEncoderFgBg),
+           'roi_encoder' (RoiEncoder).
+    """
+    if kind == "mapper":
+        return _trunk_denses(params["FCResTrunk_0"], "FCResTrunk_0") + \
+            ["Dense_0"]
+    if kind == "pose_decoder":
+        return _trunk_denses(params["FCResTrunk_0"], "FCResTrunk_0") + \
+            ["coords", "visible"]
+    if kind == "uae_generator":
+        convs = (["stem"]
+                 + _tower_convs(params["ConvBlockTower_0"],
+                                "ConvBlockTower_0")
+                 + sorted((k for k in params if k.startswith("Conv_")),
+                          key=_nat)
+                 + ["to_rgb"])
+        return convs + ["bottleneck", "unbottleneck"]
+    if kind == "roi_encoder_fgbg":
+        convs = (_tower_convs(params["_Stem_0"], "_Stem_0")
+                 + _tower_convs(params["fg_tower"]["ConvBlockTower_0"],
+                                "fg_tower/ConvBlockTower_0")
+                 + _tower_convs(params["bg_tower"], "bg_tower"))
+        return convs + ["fg_tower/Dense_0", "bg_fc"]
+    if kind == "roi_encoder":
+        convs = (_tower_convs(params["_Stem_0"], "_Stem_0")
+                 + _tower_convs(params["_RoiTower_0"]["ConvBlockTower_0"],
+                                "_RoiTower_0/ConvBlockTower_0"))
+        return convs + ["_RoiTower_0/Dense_0"]
+    raise ValueError(f"unknown module kind {kind!r}")
+
+
+def _get_leaf(tree: Dict, path: str):
+    node = tree
+    for k in path.split("/"):
+        node = node[k]
+    return node
+
+
+def _leaf_kernel_bias(tree: Dict, path: str):
+    if path == "stem":
+        return tree["stem_kernel"], tree.get("stem_bias")
+    leaf = _get_leaf(tree, path)
+    return leaf["kernel"], leaf.get("bias")
+
+
+def _set_leaf(tree: Dict, path: str, kernel, bias):
+    if path == "stem":
+        tree["stem_kernel"] = np.asarray(kernel)
+        if bias is not None:
+            tree["stem_bias"] = np.asarray(bias)
+        return
+    node = tree
+    keys = path.split("/")
+    for k in keys[:-1]:
+        node = node[k]
+    node[keys[-1]]["kernel"] = np.asarray(kernel)
+    if bias is not None and "bias" in node[keys[-1]]:
+        node[keys[-1]]["bias"] = np.asarray(bias)
+
+
+def _to_plain(tree):
+    if isinstance(tree, dict):
+        return {k: _to_plain(v) for k, v in tree.items()}
+    return np.asarray(tree)
+
+
+# ------------------------------------------------------------------ import
+def import_scope(var_dict: Dict[str, np.ndarray], scope: str, kind: str,
                  flax_params: Any) -> Any:
     """Fill one flax subtree from one reference scope, positionally."""
-    import jax
-
-    ref_stream = _ref_kernel_stream(var_dict, scope)
-    flax_stream = _flax_kernel_stream(flax_params)
-    if len(ref_stream) != len(flax_stream):
+    ref = ref_kernel_stream(var_dict, scope)
+    order = flax_stream_order(kind, flax_params)
+    if len(ref) != len(order):
         raise ValueError(
-            f"scope {scope!r}: {len(ref_stream)} reference kernels vs "
-            f"{len(flax_stream)} flax kernels — architecture mismatch.\n"
-            f"ref: {[n for n, *_ in ref_stream]}\n"
-            f"flax: {[p for p, _ in flax_stream]}")
-    new = jax.tree_util.tree_map(lambda x: x, flax_params)  # copy structure
-
-    def set_leaf(tree, path, kernel, bias):
-        node = tree
-        keys = path.split("/")
-        for k in keys[:-1]:
-            node = node[k]
-        leaf = node[keys[-1]]
-        if tuple(leaf["kernel"].shape) != tuple(kernel.shape):
+            f"scope {scope!r}: {len(ref)} reference kernels vs "
+            f"{len(order)} flax kernels — architecture mismatch.\n"
+            f"ref: {[n for n, *_ in ref]}\nflax: {order}")
+    new = _to_plain(flax_params)
+    for (ref_name, kernel, bias), path in zip(ref, order):
+        want, _ = _leaf_kernel_bias(new, path)
+        if tuple(want.shape) != tuple(kernel.shape):
             raise ValueError(
-                f"shape mismatch at {path}: flax {leaf['kernel'].shape} vs "
-                f"reference {kernel.shape}")
-        leaf["kernel"] = np.asarray(kernel)
-        if bias is not None and "bias" in leaf:
-            leaf["bias"] = np.asarray(bias)
-
-    new = jax.tree_util.tree_map(np.asarray, new)  # mutable dict-of-ndarray
-    new = _to_plain_dict(new)
-    for (ref_name, kernel, bias), (path, _leaf) in zip(ref_stream,
-                                                       flax_stream):
-        set_leaf(new, path, kernel, bias)
+                f"shape mismatch pairing {ref_name} -> {path}: reference "
+                f"{kernel.shape} vs flax {want.shape}")
+        _set_leaf(new, path, kernel, bias)
     return new
 
 
-def _to_plain_dict(tree):
-    if isinstance(tree, dict):
-        return {k: _to_plain_dict(v) for k, v in tree.items()}
-    return tree
-
-
-SCOPE_TO_SUBTREE = {
-    # reference scope -> our named g_params subtree
-    "Encoder": "Encoder",
-    "ID_AE": "ID_AE",
-    "PoseAE": "PoseAE",
-    "PoseGaussian": "PoseGaussian",
-    "Gaussian_FC_Fg": "Gaussian_FC_Fg",
-    "Gaussian_FC_Bg": "Gaussian_FC_Bg",
+# reference scope -> (our subtree in g_params, module kind)
+SCOPE_TABLE = {
+    "Encoder/G_encoder": ("Encoder", "roi_encoder_fgbg"),
+    "ID_AE/G": ("ID_AE", "uae_generator"),
+    "PoseAE/G_Pose_Encoder": (("PoseAE", "G_Pose_Encoder"), "mapper"),
+    "PoseAE/G_Pose_Decoder": (("PoseAE", "G_Pose_Decoder"), "pose_decoder"),
+    "PoseGaussian/G_FC": ("PoseGaussian", "mapper"),
+    "Gaussian_FC_Fg/G_FC": ("Gaussian_FC_Fg", "mapper"),
+    "Gaussian_FC_Bg/G_FC": ("Gaussian_FC_Bg", "mapper"),
+    "Gaussian_FC/G_FC": ("Gaussian_FC", "mapper"),
 }
 
 
 def import_checkpoint(ckpt_path: str, template_params: Dict[str, Any],
-                      scopes: List[str]) -> Dict[str, Any]:
-    """Import the given reference scopes into copies of our template
-    subtrees. Returns {subtree_name: filled_params}."""
+                      scopes: Optional[List[str]] = None) -> Dict[str, Any]:
+    """Import reference scopes into copies of our template subtrees.
+
+    scopes: reference scope prefixes (keys of SCOPE_TABLE); defaults to all
+    scopes present in both the checkpoint and the template."""
     var_dict = load_tf1_variables(ckpt_path)
-    out = {}
-    for scope in scopes:
-        sub = SCOPE_TO_SUBTREE[scope]
-        out[sub] = import_scope(var_dict, scope, template_params[sub])
+    present = {n.split("/")[0] for n in var_dict}
+    out: Dict[str, Any] = {}
+    for scope, (target, kind) in SCOPE_TABLE.items():
+        if scopes is not None and scope not in scopes:
+            continue
+        top = scope.split("/")[0]
+        if top not in present:
+            continue
+        if isinstance(target, tuple):
+            if target[0] not in template_params:
+                continue
+            sub = template_params[target[0]][target[1]]
+            filled = import_scope(var_dict, scope, kind, sub)
+            out.setdefault(target[0], _to_plain(
+                template_params[target[0]]))[target[1]] = filled
+        else:
+            if target not in template_params:
+                continue
+            out[target] = import_scope(var_dict, scope, kind,
+                                       template_params[target])
     return out
