@@ -104,11 +104,14 @@ class Trainer:
             state, metrics = self.app.train_step(state, batch, sub)
 
             if step == 0 or step % cfg.log_step == cfg.log_step - 1:
-                jax.block_until_ready(metrics)
+                # Force execution BEFORE timing: on lazy/remote backends
+                # block_until_ready does not guarantee the queued steps ran
+                # (see CLAUDE.md); demanding host floats does.
+                vals = {k: float(v) for k, v in metrics.items()}
                 now = time.time()
                 ips = cfg.batch_size * cfg.log_step / max(now - t_last, 1e-9)
                 t_last = now
-                self.log_metrics(step, {**metrics, "imgs_per_sec": ips})
+                self.log_metrics(step, {**vals, "imgs_per_sec": ips})
 
             if preview_fn is not None and (
                     step == 0 or step % (cfg.log_step * 3) == cfg.log_step * 3 - 1):
