@@ -83,7 +83,7 @@ def run_one_by_one(cfg: Config, img_dir: str, pair_path: str,
             "part_bbox": jnp.asarray(np.asarray(bbox_a, np.int32)[None]),
             "part_vis": jnp.asarray(np.asarray(vis_a, np.int32)[None]),
         }
-        g, pose_t, _score = tester.transfer_step(batch)
+        g, pose_t, _score = tester.transfer_step(tester.params, batch)
         g = np.asarray(g)[0]
 
         Image.fromarray(img_a.astype(np.uint8)).save(

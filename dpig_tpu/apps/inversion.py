@@ -37,7 +37,8 @@ class InversionTool(_TesterBase):
                lr: float = 0.05, steps: int = 300, invert_bg: bool = True
                ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """Returns (z_fg, z_bg, final_loss)."""
-        embs = self._encode_app(batch)
+        params = self.params  # small nets only (mappers); constants OK
+        embs = self._encode_app(params, batch)
         target_fg = embs[:, :self.fg_dim]
         target_bg = embs[:, self.fg_dim:]
         b = embs.shape[0]
@@ -48,11 +49,11 @@ class InversionTool(_TesterBase):
 
         def loss_fn(z):
             out_fg = self.mapper_fg.apply(
-                {"params": self.params["Gaussian_FC_Fg"]}, z["fg"])
+                {"params": params["Gaussian_FC_Fg"]}, z["fg"])
             loss = jnp.mean((out_fg - target_fg) ** 2)
             if invert_bg:
                 out_bg = self.mapper_bg.apply(
-                    {"params": self.params["Gaussian_FC_Bg"]}, z["bg"])
+                    {"params": params["Gaussian_FC_Bg"]}, z["bg"])
                 loss = loss + jnp.mean((out_bg - target_bg) ** 2)
             return loss
 

@@ -101,30 +101,33 @@ class _TesterBase:
         params["Discriminator_stats"] = dv.get("batch_stats", {})
         return params
 
-    # shared forward pieces -------------------------------------------------
-    def _encode_app(self, batch):
+    # shared forward pieces ------------------------------------------------
+    # NOTE: all jitted steps take `params` as a traced ARGUMENT — closing
+    # over self.params would embed ~0.5GB of constants in the compiled
+    # graph, which exceeds remote-compile payload limits at full scale.
+    def _encode_app(self, params, batch):
         cfg = self.cfg
         bbox, vis = select_parts(batch["part_bbox"], batch["part_vis"],
                                  cfg.roi_part_num)
-        return self.stage1._encode(self.params["Encoder"], batch["x"],
+        return self.stage1._encode(params["Encoder"], batch["x"],
                                    batch["mask_r6"], bbox, vis)
 
-    def _generate(self, embs, pose_maps):
+    def _generate(self, params, embs, pose_maps):
         g_raw, _ = self.stage1.generator.apply(
-            {"params": self.params["ID_AE"]}, None, pose_maps,
+            {"params": params["ID_AE"]}, None, pose_maps,
             embs_const=embs)
         return g_raw.astype(jnp.float32)
 
-    def _disc_score(self, g_raw):
-        if "Discriminator" not in self.params:
+    def _disc_score(self, params, g_raw):
+        if "Discriminator" not in params:
             return jnp.zeros((g_raw.shape[0],))
         out, _ = self.stage1.disc.apply(
-            {"params": self.params["Discriminator"],
-             "batch_stats": self.params.get("Discriminator_stats", {})},
+            {"params": params["Discriminator"],
+             "batch_stats": params.get("Discriminator_stats", {})},
             g_raw, train=True, mutable=["batch_stats"])
         return out.astype(jnp.float32)
 
-    def _pose_maps(self, batch, rng, pose_source: str):
+    def _pose_maps(self, params, batch, rng, pose_source: str):
         """Returns (pose_maps [-1,1] inflated, pose_rcv used)."""
         cfg = self.cfg
         pose_ae = Stage1PoseApp(cfg)
@@ -139,15 +142,15 @@ class _TesterBase:
                                           cfg.img_W)
             flat = rcv_norm.reshape(rcv_norm.shape[0], -1)
             z = pose_ae.encoder.apply(
-                {"params": self.params["PoseAE"]["G_Pose_Encoder"]}, flat)
+                {"params": params["PoseAE"]["G_Pose_Encoder"]}, flat)
         elif pose_source == "sampled":
             mapper = GaussianMapper(out_dim=POSE_Z, hidden_num=512)
             noise = sample_mapper_noise(rng, batch["pose_rcv"].shape[0],
                                         POSE_Z)
-            z = mapper.apply({"params": self.params["PoseGaussian"]}, noise)
+            z = mapper.apply({"params": params["PoseGaussian"]}, noise)
         else:
             raise ValueError(pose_source)
-        rcv, _ = pose_ae.decode_pose({"PoseAE": self.params["PoseAE"]}, z)
+        rcv, _ = pose_ae.decode_pose({"PoseAE": params["PoseAE"]}, z)
         maps = render_pose_maps(rcv, cfg.img_H, cfg.img_W, cfg.keypoint_num,
                                 radius=4, normalized=True)
         return maps, rcv
@@ -168,19 +171,19 @@ class FullSamplingTester(_TesterBase):
         self.mapper_bg = GaussianMapper(out_dim=cfg.roi_z_num * 4,
                                         hidden_num=256)
 
-    @functools.partial(jax.jit, static_argnums=(0, 3))
-    def sample_step(self, batch, rng, pose_source: str = "real"):
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def sample_step(self, params, batch, rng, pose_source: str = "real"):
         cfg = self.cfg
         b = batch["x"].shape[0]
         r_fg, r_bg, r_pose = jax.random.split(rng, 3)
-        embs = self._encode_app(batch)
+        embs = self._encode_app(params, batch)
         fg_embs, bg_embs = embs[:, :self.fg_dim], embs[:, self.fg_dim:]
 
         app_fg = self.mapper_fg.apply(
-            {"params": self.params["Gaussian_FC_Fg"]},
+            {"params": params["Gaussian_FC_Fg"]},
             sample_mapper_noise(r_fg, b, self.fg_dim))
         app_bg = self.mapper_bg.apply(
-            {"params": self.params["Gaussian_FC_Bg"]},
+            {"params": params["Gaussian_FC_Bg"]},
             sample_mapper_noise(r_bg, b, cfg.roi_z_num * 4))
 
         if cfg.one_app_per_batch:  # fix FG, vary BG (tester.py:381-387)
@@ -193,9 +196,9 @@ class FullSamplingTester(_TesterBase):
             embs = jnp.concatenate(
                 [jnp.tile(fg_embs[:1], (b, 1)), bg_embs], -1)
 
-        pose_maps, rcv = self._pose_maps(batch, r_pose, pose_source)
-        g_raw = self._generate(embs, pose_maps)
-        score = self._disc_score(g_raw)
+        pose_maps, rcv = self._pose_maps(params, batch, r_pose, pose_source)
+        g_raw = self._generate(params, embs, pose_maps)
+        score = self._disc_score(params, g_raw)
         return jnp.clip((g_raw + 1) * 127.5, 0, 255), pose_maps, score
 
     def run(self, loader: Iterator, test_batch_num: Optional[int] = None,
@@ -212,7 +215,8 @@ class FullSamplingTester(_TesterBase):
             batch = next(loader)
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
             rng, sub = jax.random.split(rng)
-            g, pose_maps, score = self.sample_step(jb, sub, pose_source)
+            g, pose_maps, score = self.sample_step(self.params, jb, sub,
+                                                   pose_source)
             _save_batch_pngs(dirs, {
                 "x": (np.asarray(batch["x"]) + 1) * 127.5,
                 "pose": pose_to_gray(np.asarray(pose_maps)),
@@ -250,16 +254,16 @@ class FactorSamplingTester(_TesterBase):
                                         hidden_num=256)
 
     @functools.partial(jax.jit, static_argnums=0)
-    def sample_step(self, batch, rng):
+    def sample_step(self, params, batch, rng):
         cfg = self.cfg
         b = batch["x"].shape[0]
         r_fg, r_bg, r_pose = jax.random.split(rng, 3)
-        embs = self._encode_app(batch)
+        embs = self._encode_app(params, batch)
 
         if self.is_256:
             if cfg.sample_fg or cfg.sample_app:
                 embs = self.mapper_fg.apply(
-                    {"params": self.params["Gaussian_FC"]},
+                    {"params": params["Gaussian_FC"]},
                     sample_mapper_noise(r_fg, b, self.fg_dim))
             else:
                 embs = jnp.tile(embs[:1], (b, 1))
@@ -267,20 +271,21 @@ class FactorSamplingTester(_TesterBase):
             fg_embs, bg_embs = embs[:, :self.fg_dim], embs[:, self.fg_dim:]
             if cfg.sample_fg:
                 fg = self.mapper_fg.apply(
-                    {"params": self.params["Gaussian_FC_Fg"]},
+                    {"params": params["Gaussian_FC_Fg"]},
                     sample_mapper_noise(r_fg, b, self.fg_dim))
             else:
                 fg = jnp.tile(fg_embs[:1], (b, 1))  # tester.py:541-543
             if cfg.sample_bg:
                 bg = self.mapper_bg.apply(
-                    {"params": self.params["Gaussian_FC_Bg"]},
+                    {"params": params["Gaussian_FC_Bg"]},
                     sample_mapper_noise(r_bg, b, cfg.roi_z_num * 4))
             else:
                 bg = jnp.tile(bg_embs[:1], (b, 1))
             embs = jnp.concatenate([fg, bg], -1)
 
         if cfg.sample_pose:
-            pose_maps, _ = self._pose_maps(batch, r_pose, "reconstructed")
+            pose_maps, _ = self._pose_maps(params, batch, r_pose,
+                                           "reconstructed")
         else:
             # one real pose tiled across the batch (tester.py:506-508)
             rcv_norm = pose_rcv_normalize(batch["pose_rcv"], cfg.img_H,
@@ -289,8 +294,8 @@ class FactorSamplingTester(_TesterBase):
             pose_maps = render_pose_maps(rcv_one, cfg.img_H, cfg.img_W,
                                          cfg.keypoint_num, radius=4,
                                          normalized=True)
-        g_raw = self._generate(embs, pose_maps)
-        score = self._disc_score(g_raw)
+        g_raw = self._generate(params, embs, pose_maps)
+        score = self._disc_score(params, g_raw)
         return jnp.clip((g_raw + 1) * 127.5, 0, 255), pose_maps, score
 
     def run(self, loader: Iterator, test_batch_num: Optional[int] = None) -> str:
@@ -306,7 +311,7 @@ class FactorSamplingTester(_TesterBase):
             batch = next(loader)
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
             rng, sub = jax.random.split(rng)
-            g, pose_maps, score = self.sample_step(jb, sub)
+            g, pose_maps, score = self.sample_step(self.params, jb, sub)
             _save_batch_pngs(dirs, {
                 "x": (np.asarray(batch["x"]) + 1) * 127.5,
                 "G": np.asarray(g),
@@ -325,14 +330,14 @@ class ConditionalTransferTester(_TesterBase):
     DEFAULT_BATCHES = 600  # tester.py:650
 
     @functools.partial(jax.jit, static_argnums=0)
-    def transfer_step(self, batch):
+    def transfer_step(self, params, batch):
         cfg = self.cfg
-        embs = self._encode_app(batch)
+        embs = self._encode_app(params, batch)
         pose_t = render_pose_maps(batch["pose_rcv_target"], cfg.img_H,
                                   cfg.img_W, cfg.keypoint_num, radius=4,
                                   normalized=False)
-        g_raw = self._generate(embs, pose_t)
-        score = self._disc_score(g_raw)
+        g_raw = self._generate(params, embs, pose_t)
+        score = self._disc_score(params, g_raw)
         return jnp.clip((g_raw + 1) * 127.5, 0, 255), pose_t, score
 
     def run(self, loader: Iterator, test_batch_num: Optional[int] = None) -> str:
@@ -345,7 +350,7 @@ class ConditionalTransferTester(_TesterBase):
         for i in range(n):
             batch = next(loader)
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
-            g, pose_t, score = self.transfer_step(jb)
+            g, pose_t, score = self.transfer_step(self.params, jb)
             g = np.asarray(g)
             pose_s = render_pose_maps(jb["pose_rcv"], cfg.img_H, cfg.img_W,
                                       cfg.keypoint_num, radius=4,
@@ -380,28 +385,28 @@ class InterpolationTester(_TesterBase):
     REQUIRED = {"Encoder", "ID_AE", "PoseAE"}
 
     @functools.partial(jax.jit, static_argnums=0)
-    def _embed(self, batch):
+    def _embed(self, params, batch):
         cfg = self.cfg
-        embs = self._encode_app(batch)
+        embs = self._encode_app(params, batch)
         rcv_norm = pose_rcv_normalize(batch["pose_rcv"], cfg.img_H, cfg.img_W)
         from .stage1_pose import Stage1PoseApp
         pose_ae = Stage1PoseApp(cfg)
         pose_z = pose_ae.encoder.apply(
-            {"params": self.params["PoseAE"]["G_Pose_Encoder"]},
+            {"params": params["PoseAE"]["G_Pose_Encoder"]},
             rcv_norm.reshape(rcv_norm.shape[0], -1))
         return embs, pose_z
 
     @functools.partial(jax.jit, static_argnums=0)
-    def _decode(self, embs, pose_z):
+    def _decode(self, params, embs, pose_z):
         cfg = self.cfg
         from .stage1_pose import Stage1PoseApp
         pose_ae = Stage1PoseApp(cfg)
-        rcv, _ = pose_ae.decode_pose({"PoseAE": self.params["PoseAE"]},
+        rcv, _ = pose_ae.decode_pose({"PoseAE": params["PoseAE"]},
                                      pose_z)
         pose_maps = render_pose_maps(rcv, cfg.img_H, cfg.img_W,
                                      cfg.keypoint_num, radius=4,
                                      normalized=True)
-        g_raw = self._generate(embs, pose_maps)
+        g_raw = self._generate(params, embs, pose_maps)
         return jnp.clip((g_raw + 1) * 127.5, 0, 255)
 
     def run(self, loader: Iterator, n_steps: int = 8,
@@ -411,7 +416,7 @@ class InterpolationTester(_TesterBase):
         fg_dim = cfg.roi_part_num * cfg.roi_z_num
         batch = next(loader)
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
-        embs, pose_z = self._embed(jb)
+        embs, pose_z = self._embed(self.params, jb)
         embs = np.asarray(embs)
         pose_z = np.asarray(pose_z)
 
@@ -432,7 +437,7 @@ class InterpolationTester(_TesterBase):
             rows.append((e, pz))
         e_all = jnp.asarray(np.stack([r[0] for r in rows]))
         pz_all = jnp.asarray(np.stack([r[1] for r in rows]))
-        imgs = np.asarray(self._decode(e_all, pz_all))
+        imgs = np.asarray(self._decode(self.params, e_all, pz_all))
 
         out_root = os.path.join(cfg.model_dir, "test_result_interpolate")
         os.makedirs(out_root, exist_ok=True)

@@ -33,7 +33,7 @@ def test_full_sampling_pose_sources(tmp_path):
     jb = {k: jnp.asarray(v) for k, v in batch.items()}
     import jax
     for src in ("real", "reconstructed", "sampled"):
-        g, pose, score = t.sample_step(jb, jax.random.PRNGKey(0), src)
+        g, pose, score = t.sample_step(t.params, jb, jax.random.PRNGKey(0), src)
         assert g.shape == (cfg.batch_size, cfg.img_H, cfg.img_W, 3)
         assert np.isfinite(np.asarray(score)).all()
 
@@ -46,7 +46,7 @@ def test_factor_sampling_fixed_factors_are_tiled(tmp_path):
     batch = next(SyntheticLoader(cfg.batch_size, cfg.img_H, cfg.img_W, seed=2))
     jb = {k: jnp.asarray(v) for k, v in batch.items()}
     import jax
-    g, pose, score = t.sample_step(jb, jax.random.PRNGKey(0))
+    g, pose, score = t.sample_step(t.params, jb, jax.random.PRNGKey(0))
     g = np.asarray(g)
     # identical embeddings + identical pose -> identical images
     np.testing.assert_allclose(g[0], g[1], atol=1e-3)
@@ -55,7 +55,7 @@ def test_factor_sampling_fixed_factors_are_tiled(tmp_path):
                      sample_pose=False)
     t2 = testers.FactorSamplingTester(cfg2)
     t2.params = t.params
-    g2, _, _ = t2.sample_step(jb, jax.random.PRNGKey(0))
+    g2, _, _ = t2.sample_step(t2.params, jb, jax.random.PRNGKey(0))
     assert not np.allclose(np.asarray(g2)[0], np.asarray(g2)[1], atol=1e-3)
 
 
@@ -120,7 +120,7 @@ def test_factor_sampling_256_single_mapper(tmp_path):
     assert "Gaussian_FC" in t.REQUIRED
     batch = next(SyntheticLoader(2, 256, 256, seed=8))
     jb = {k: jnp.asarray(v) for k, v in batch.items()}
-    g, pose, score = t.sample_step(jb, jax.random.PRNGKey(0))
+    g, pose, score = t.sample_step(t.params, jb, jax.random.PRNGKey(0))
     assert g.shape == (2, 256, 256, 3)
 
 
