@@ -1,0 +1,153 @@
+"""Perf probes for the int8 generation path (round-2 optimization work).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/perf_probe.py <probe> [batch]
+
+Probes:
+  flops      - print the exact per-image MAC budget per stage
+  convchain  - all generator int8 convs chained back-to-back with requant
+               feedback but NO concat/residual/upsample glue (compute ceiling)
+  winomm     - transform-domain batched matmul at Winograd F(2x2,3x3) shapes
+               (16 x [N,Cin]@[Cin,Cout] int8) for the big stride-1 convs
+
+Timing methodology: chained lax.fori_loop so the lazy remote backend cannot
+elide iterations; values demanded to host (CLAUDE.md).
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+HIDDEN, REPEAT = 128, 5
+
+
+def generator_convs():
+    """(label, h_out, w_out, cin, cout, stride, ksize) for every conv in the
+    128x64 generator (hidden=128, repeat=5), in execution order."""
+    t = []
+    hh, ww = 128, 64
+    t.append(("stem", hh, ww, 18, HIDDEN, 1, 3))
+    for idx in range(REPEAT):
+        ch = HIDDEN * (idx + 1)
+        t.append((f"enc{idx}a", hh, ww, ch, ch, 1, 3))
+        t.append((f"enc{idx}b", hh, ww, ch, ch, 1, 3))
+        if idx < REPEAT - 1:
+            t.append((f"enc{idx}d", hh // 2, ww // 2, ch,
+                      HIDDEN * (idx + 2), 2, 3))
+            hh, ww = hh // 2, ww // 2
+    x_ch = HIDDEN
+    for idx in range(REPEAT):
+        cat = x_ch + HIDDEN * (REPEAT - idx)
+        t.append((f"dec{idx}a", hh, ww, cat, cat, 1, 3))
+        t.append((f"dec{idx}b", hh, ww, cat, cat, 1, 3))
+        if idx < REPEAT - 1:
+            x_ch = HIDDEN * (REPEAT - idx - 1)
+            # 1x1 conv applied BEFORE upsample on the int8 path
+            t.append((f"dec{idx}u", hh, ww, cat, x_ch, 1, 1))
+            hh, ww = hh * 2, ww * 2
+    t.append(("to_rgb", 128, 64, 2 * HIDDEN, 3, 1, 3))
+    return t
+
+
+def probe_flops():
+    total = 0
+    for (n, h, w, ci, co, s, k) in generator_convs():
+        mac = h * w * k * k * ci * co
+        total += mac
+        print(f"{n:10s} {h:4d}x{w:<4d} {ci:4d}->{co:<4d} k{k} "
+              f"{mac/1e9:8.3f} GMAC")
+    print(f"{'TOTAL':10s} {total/1e9:32.3f} GMAC/img = "
+          f"{2*total/1e9:.1f} GOP/img")
+    print(f"5000 img/s needs {5000*2*total/1e12:.0f} TOPS effective; "
+          f"3106 img/s = {3106*2*total/1e12:.0f} TOPS effective")
+
+
+def _time_chain(fn, args, n, label, ops_per_iter):
+    f = jax.jit(fn, static_argnums=len(args))
+    np.asarray(jax.device_get(f(*args, 1)))  # compile+force
+    t0 = time.perf_counter()
+    out = f(*args, n)
+    np.asarray(jax.device_get(out))
+    dt = (time.perf_counter() - t0) / n
+    print(f"{label:28s} {dt*1e3:8.2f} ms/iter   "
+          f"{ops_per_iter/dt/1e12:7.1f} TOPS", flush=True)
+    return dt
+
+
+def probe_convchain(batch):
+    """Per-stage isolated int8 conv rate: each stride-1 same-width conv
+    chained with itself (requant feedback). This is the compute ceiling the
+    real network's stages should approach."""
+    rng = np.random.default_rng(0)
+    stages = [(name, h, w, ci) for (name, h, w, ci, co, s, k)
+              in generator_convs() if s == 1 and k == 3 and ci == co]
+    for (name, h, w, ch) in stages:
+        kk = jnp.asarray(rng.integers(-8, 8, (3, 3, ch, ch)), dtype=jnp.int8)
+        x0 = jnp.asarray(rng.integers(-127, 127, (batch, h, w, ch)),
+                         dtype=jnp.int8)
+
+        def step(x0, kk, n):
+            def body(i, x):
+                acc = jax.lax.conv_general_dilated(
+                    x, kk, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32)
+                return jnp.clip(jnp.round(acc.astype(jnp.float32) * 2e-4),
+                                -127, 127).astype(jnp.int8)
+            return jax.lax.fori_loop(0, n, body, x0)
+
+        ops = 2 * batch * h * w * 9 * ch * ch
+        _time_chain(step, (x0, kk), 20, f"conv {name} {ch}ch @{h}x{w}", ops)
+
+
+def probe_winomm(batch):
+    rng = np.random.default_rng(0)
+    for (label, h, w, cin, cout) in [
+        ("dec4 256->256 @128x64", 128, 64, 256, 256),
+        ("dec3 512->512 @64x32", 64, 32, 512, 512),
+        ("dec2 768->768 @32x16", 32, 16, 768, 768),
+        ("enc0 128->128 @128x64", 128, 64, 128, 128),
+    ]:
+        n = batch * (h // 2) * (w // 2)
+        u = jnp.asarray(rng.integers(-127, 127, (16, n, cin)), dtype=jnp.int8)
+        wk = jnp.asarray(rng.integers(-127, 127, (16, cin, cout)),
+                         dtype=jnp.int8)
+
+        def mm(u0, wk, nn, cin=cin, cout=cout):
+            def body(i, uu):
+                m = jnp.einsum("pnc,pcd->pnd", uu, wk,
+                               preferred_element_type=jnp.int32)
+                if cout >= cin:
+                    m = m[:, :, :cin]
+                else:
+                    m = jnp.pad(m, ((0, 0), (0, 0), (0, cin - cout)))
+                return jnp.clip(jnp.round(m.astype(jnp.float32) * 2e-4),
+                                -127, 127).astype(jnp.int8)
+            return jax.lax.fori_loop(0, nn, body, u0)
+
+        ops = 2 * 16 * n * cin * cout
+        direct = 2 * batch * h * w * 9 * cin * cout
+        per = _time_chain(mm, (u, wk), 10, f"winomm {label}", ops)
+        print(f"    -> replaces a direct conv of "
+              f"{direct/1e12:.2f} TOP: effective {direct/per/1e12:7.1f} "
+              f"TOPS-eq", flush=True)
+
+
+def main():
+    probe = sys.argv[1]
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    if probe == "flops":
+        probe_flops()
+    elif probe == "convchain":
+        probe_convchain(batch)
+    elif probe == "winomm":
+        probe_winomm(batch)
+    else:
+        raise SystemExit(f"unknown probe {probe}")
+
+
+if __name__ == "__main__":
+    main()
