@@ -32,12 +32,19 @@ class InversionTool(_TesterBase):
         self.mapper_fg = GaussianMapper(out_dim=self.fg_dim, hidden_num=512)
         self.mapper_bg = GaussianMapper(out_dim=self.bg_dim, hidden_num=256)
 
-    @functools.partial(jax.jit, static_argnums=(0, 4, 5))
     def invert(self, batch: Dict[str, jax.Array], rng: jax.Array,
                lr: float = 0.05, steps: int = 300, invert_bg: bool = True
                ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """Returns (z_fg, z_bg, final_loss)."""
-        params = self.params  # small nets only (mappers); constants OK
+        # NOTE: params are a traced jit ARGUMENT — embedding the full tree
+        # (incl. the Stage-I Encoder used by _encode_app) as closure
+        # constants blows the remote-compile payload limit (commit 616da35).
+        return self._invert(self.params, batch, rng, lr, steps, invert_bg)
+
+    @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
+    def _invert(self, params, batch: Dict[str, jax.Array], rng: jax.Array,
+                lr: float, steps: int, invert_bg: bool
+                ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         embs = self._encode_app(params, batch)
         target_fg = embs[:, :self.fg_dim]
         target_bg = embs[:, self.fg_dim:]

@@ -113,7 +113,12 @@ class Stage2PoseApp:
             state = state.replace(d_params=gan.clip_params(state.d_params))
 
         state = state.replace(step=state.step + 1)
-        return state, {"g_loss_embs": g_l, "d_loss_embs": d_l}
+        # hist/: embedding-distribution observability (reference
+        # trainer.py:956-958 tf.summary.histogram on real/fake embeddings).
+        fake_last = jax.lax.stop_gradient(
+            self.sample_pose_embs(state.g_params, rngs[-1], b))
+        return state, {"g_loss_embs": g_l, "d_loss_embs": d_l,
+                       "hist/embs_real": real, "hist/embs_fake": fake_last}
 
     # ----------------------------------------------------------- sampling
     @functools.partial(jax.jit, static_argnums=(0, 3))

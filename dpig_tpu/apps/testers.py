@@ -209,7 +209,11 @@ class FullSamplingTester(_TesterBase):
             cfg.model_dir,
             f"test_result_SampleApp{cfg.sample_app}Pose-{pose_source}"
             f"_{n}x{cfg.batch_size}")
-        dirs = _save_dir_tree(out_root, ["x", "G", "pose"])
+        # Full reference output tree (tester.py:139-147,178-195): input
+        # pair + masks + input/target/generated pose renderings.
+        dirs = _save_dir_tree(out_root, ["x", "x_target", "G", "pose",
+                                         "pose_target", "G_pose", "mask",
+                                         "mask_target"])
         rng = jax.random.PRNGKey(0)  # tf.set_random_seed(0), tester.py:372
         for i in range(n):
             batch = next(loader)
@@ -217,10 +221,31 @@ class FullSamplingTester(_TesterBase):
             rng, sub = jax.random.split(rng)
             g, pose_maps, score = self.sample_step(self.params, jb, sub,
                                                    pose_source)
-            _save_batch_pngs(dirs, {
+            arrays = {
                 "x": (np.asarray(batch["x"]) + 1) * 127.5,
-                "pose": pose_to_gray(np.asarray(pose_maps)),
-            }, i * cfg.batch_size)
+                "pose": pose_to_gray(np.asarray(render_pose_maps(
+                    jb["pose_rcv"], cfg.img_H, cfg.img_W, cfg.keypoint_num,
+                    radius=4, normalized=False))),
+                "G_pose": pose_to_gray(np.asarray(pose_maps)),
+            }
+            if "x_target" in batch:
+                arrays["x_target"] = (np.asarray(batch["x_target"]) + 1) * 127.5
+            if "pose_rcv_target" in batch:
+                arrays["pose_target"] = pose_to_gray(np.asarray(
+                    render_pose_maps(jb["pose_rcv_target"], cfg.img_H,
+                                     cfg.img_W, cfg.keypoint_num, radius=4,
+                                     normalized=False)))
+            if "mask_r6" in batch:
+                arrays["mask"] = np.asarray(batch["mask_r6"]) * 255.0
+            if "mask_r6_target" in batch:
+                arrays["mask_target"] = \
+                    np.asarray(batch["mask_r6_target"]) * 255.0
+            _save_batch_pngs(dirs, arrays, i * cfg.batch_size)
+            # pose_rcv dumps alongside the renderings (tester.py generate()
+            # keeps the coordinates; scoring/re-id tooling reads them back)
+            if i < 4:
+                np.save(os.path.join(dirs["G_pose"], f"pose_rcv_{i:04d}.npy"),
+                        np.asarray(jb["pose_rcv"]))
             # G filenames carry the discriminator score (tester.py:185)
             g_np = np.asarray(g)
             s_np = np.asarray(score)

@@ -68,9 +68,17 @@ class Trainer:
         return state
 
     # --------------------------------------------------------------- log
-    def log_metrics(self, step: int, metrics: Dict[str, Any]) -> None:
+    def log_metrics(self, step: int, metrics: Dict[str, Any],
+                    hists: Optional[Dict[str, np.ndarray]] = None) -> None:
+        """Scalars -> metrics.jsonl + TB scalars; array-valued `hists`
+        (embedding distributions, reference trainer.py:956-958) ->
+        summary stats in the JSONL + real TB histograms."""
         rec = {"step": step,
                **{k: float(v) for k, v in metrics.items()}}
+        for name, arr in (hists or {}).items():
+            flat = np.asarray(arr, np.float64).ravel()
+            rec[f"{name}_mean"] = float(flat.mean())
+            rec[f"{name}_std"] = float(flat.std())
         self._metrics_f.write(json.dumps(rec) + "\n")
         self._metrics_f.flush()
         if self._tb is not None:
@@ -79,6 +87,8 @@ class Trainer:
                 for k, v in rec.items():
                     if k != "step":
                         tf.summary.scalar(f"loss/{k}", v, step=step)
+                for name, arr in (hists or {}).items():
+                    tf.summary.histogram(name, np.asarray(arr), step=step)
             self._tb.flush()
         print(f"[{step}] " + " ".join(f"{k}={v:.4f}" for k, v in rec.items()
                                       if k != "step"), flush=True)
@@ -96,6 +106,10 @@ class Trainer:
 
         start = int(state.step)
         t_last = time.time()
+        last_logged = start - 1  # so the first interval divides by the
+        # actual number of steps it covers (a single step at step==0), not
+        # by log_step — the reference-style batch*log_step/elapsed formula
+        # overstated the first reading by ~log_step x.
         for step in range(start, cfg.max_step):
             batch = next(self.loader)
             if self.mesh is not None:
@@ -107,11 +121,19 @@ class Trainer:
                 # Force execution BEFORE timing: on lazy/remote backends
                 # block_until_ready does not guarantee the queued steps ran
                 # (see CLAUDE.md); demanding host floats does.
-                vals = {k: float(v) for k, v in metrics.items()}
+                vals, hists = {}, {}
+                for k, v in metrics.items():
+                    if k.startswith("hist/"):
+                        hists[k[5:]] = np.asarray(v)
+                    else:
+                        vals[k] = float(v)
                 now = time.time()
-                ips = cfg.batch_size * cfg.log_step / max(now - t_last, 1e-9)
+                ips = (cfg.batch_size * (step - last_logged)
+                       / max(now - t_last, 1e-9))
                 t_last = now
-                self.log_metrics(step, {**vals, "imgs_per_sec": ips})
+                last_logged = step
+                self.log_metrics(step, {**vals, "imgs_per_sec": ips},
+                                 hists=hists)
 
             if preview_fn is not None and (
                     step == 0 or step % (cfg.log_step * 3) == cfg.log_step * 3 - 1):

@@ -174,6 +174,64 @@ def import_scope(var_dict: Dict[str, np.ndarray], scope: str, kind: str,
     return new
 
 
+def import_discriminator(var_dict: Dict[str, np.ndarray],
+                         d_params: Dict[str, Any],
+                         d_stats: Optional[Dict[str, Any]],
+                         img_h: int, img_w: int, dim: int = 64,
+                         name: str = "Discriminator"
+                         ) -> Tuple[Dict, Dict]:
+    """Import the tflib flat-registry DCGAN discriminator
+    ('Discriminator.N.Filters/.Biases', '.BNn.*', '.Output.W/.b' —
+    wgan_gp.py:407-440, registry tflib/__init__.py:10-37) into the flax
+    DCGANDiscriminator tree (Conv_0..n, BatchNorm_0.., logit).
+
+    Layout notes: tflib convs take HWIO filters even in NCHW mode, so
+    kernels map 1:1; the final logit flattens the NCHW feature map
+    (row index c*(H*W) + h*W + w) while flax flattens NHWC
+    (h*(W*C) + w*C + c), so Output.W's rows are permuted accordingly.
+    """
+    new = _to_plain(d_params)
+    stats = _to_plain(d_stats) if d_stats else {}
+    n_stages = sum(1 for k in new if k.startswith("Conv_"))
+    for i in range(n_stages):
+        kn = f"{name}.{i + 1}.Filters"
+        conv = new[f"Conv_{i}"]
+        if tuple(conv["kernel"].shape) != tuple(var_dict[kn].shape):
+            raise ValueError(
+                f"shape mismatch {kn}: reference {var_dict[kn].shape} vs "
+                f"flax {conv['kernel'].shape}")
+        conv["kernel"] = np.asarray(var_dict[kn])
+        bn = var_dict.get(f"{name}.{i + 1}.Biases")
+        if bn is not None and "bias" in conv:
+            conv["bias"] = np.asarray(bn)
+        # BN at stages >= 1 (wgan_gp.py:417-427), numbered BN2..BNn in the
+        # reference and BatchNorm_{i-1} in flax module creation order.
+        bkey = f"{name}.BN{i + 1}"
+        fkey = f"BatchNorm_{i - 1}"
+        if f"{bkey}.scale" in var_dict and fkey in new:
+            new[fkey]["scale"] = np.asarray(var_dict[f"{bkey}.scale"])
+            new[fkey]["bias"] = np.asarray(var_dict[f"{bkey}.offset"])
+            if fkey in stats:
+                stats[fkey]["mean"] = np.asarray(
+                    var_dict[f"{bkey}.moving_mean"])
+                stats[fkey]["var"] = np.asarray(
+                    var_dict[f"{bkey}.moving_variance"])
+    w = np.asarray(var_dict[f"{name}.Output.W"])
+    h_f, w_f = img_h // (2 ** n_stages), img_w // (2 ** n_stages)
+    c_f = w.shape[0] // (h_f * w_f)
+    # rows (c, h, w) -> (h, w, c)
+    w = w.reshape(c_f, h_f, w_f, -1).transpose(1, 2, 0, 3).reshape(
+        h_f * w_f * c_f, -1)
+    if tuple(new["logit"]["kernel"].shape) != tuple(w.shape):
+        raise ValueError(
+            f"shape mismatch {name}.Output.W: reference {w.shape} vs flax "
+            f"{new['logit']['kernel'].shape}")
+    new["logit"]["kernel"] = w
+    new["logit"]["bias"] = np.asarray(
+        var_dict[f"{name}.Output.b"]).reshape(-1)
+    return new, stats
+
+
 # reference scope -> (our subtree in g_params, module kind)
 SCOPE_TABLE = {
     "Encoder/G_encoder": ("Encoder", "roi_encoder_fgbg"),
@@ -188,14 +246,26 @@ SCOPE_TABLE = {
 
 
 def import_checkpoint(ckpt_path: str, template_params: Dict[str, Any],
-                      scopes: Optional[List[str]] = None) -> Dict[str, Any]:
+                      scopes: Optional[List[str]] = None,
+                      img_h: int = 128, img_w: int = 64) -> Dict[str, Any]:
     """Import reference scopes into copies of our template subtrees.
 
     scopes: reference scope prefixes (keys of SCOPE_TABLE); defaults to all
-    scopes present in both the checkpoint and the template."""
+    scopes present in both the checkpoint and the template. The tflib
+    flat-name discriminator (tester.py:17-64 restores it via the full
+    saver) is imported when both sides have one."""
     var_dict = load_tf1_variables(ckpt_path)
     present = {n.split("/")[0] for n in var_dict}
     out: Dict[str, Any] = {}
+    if "Discriminator.1.Filters" in var_dict and \
+            "Discriminator" in template_params and \
+            (scopes is None or "Discriminator" in scopes):
+        d_new, d_stats = import_discriminator(
+            var_dict, template_params["Discriminator"],
+            template_params.get("Discriminator_stats"), img_h, img_w)
+        out["Discriminator"] = d_new
+        if d_stats:
+            out["Discriminator_stats"] = d_stats
     for scope, (target, kind) in SCOPE_TABLE.items():
         if scopes is not None and scope not in scopes:
             continue
