@@ -91,6 +91,12 @@ class Config:
     roi_part_num: int = 7               # parts actually encoded (trainer.py:576)
     roi_z_num: int = 32                 # trainer.py:581 hardcodes 32
     synthetic_data: bool = False        # run on generated fixtures (no tfrecords)
+    platform: str = ""                  # pin jax platform ('cpu' for smokes
+    # that must not take the TPU; '' = backend default)
+    # Multi-host (jax.distributed over DCN; SURVEY §2.8 TPU-native row)
+    coordinator_address: str = ""       # e.g. 'host0:1234'; '' = single-host
+    num_processes: int = 1
+    process_id: int = -1                # -1 = auto (from env)
     remat: bool = False                 # rematerialize generator activations
     demo_img_dir: Optional[str] = None  # test_one_by_one inputs
     demo_pair_path: Optional[str] = None

@@ -21,7 +21,11 @@ from __future__ import annotations
 import io
 import os
 import pickle
+import queue
 import random
+import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional
 
 import numpy as np
@@ -74,17 +78,44 @@ def parse_example(record: bytes, img_h: int, img_w: int, part_num: int = 37,
     return out
 
 
-def iter_examples(shards: List[str], img_h: int, img_w: int,
-                  mask_keys: Dict[str, str], part_num: int = 37,
-                  repeat: bool = False) -> Iterator[Dict[str, np.ndarray]]:
+def iter_records(shards: List[str], repeat: bool = False) -> Iterator[bytes]:
     while True:
         for shard in shards:
-            for rec in tfrecord.read_records(shard):
-                yield parse_example(rec, img_h, img_w, part_num=part_num,
-                                    mask_a=mask_keys["mask_a"],
-                                    mask_b=mask_keys["mask_b"])
+            yield from tfrecord.read_records(shard)
         if not repeat:
             return
+
+
+def iter_examples(shards: List[str], img_h: int, img_w: int,
+                  mask_keys: Dict[str, str], part_num: int = 37,
+                  repeat: bool = False,
+                  num_workers: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    """Parsed-sample stream. num_workers > 0 parses/decodes on a thread
+    pool with an ordered in-flight window, so the output ORDER is identical
+    to the sequential path for any worker count (the reference pins test
+    readers to 1 thread for order, trainer.py:108-110 — here order is
+    deterministic even with workers)."""
+    records = iter_records(shards, repeat)
+
+    def parse(rec):
+        return parse_example(rec, img_h, img_w, part_num=part_num,
+                             mask_a=mask_keys["mask_a"],
+                             mask_b=mask_keys["mask_b"])
+
+    if num_workers <= 0:
+        for rec in records:
+            yield parse(rec)
+        return
+
+    with ThreadPoolExecutor(num_workers) as pool:
+        pending: deque = deque()
+        window = num_workers * 4
+        for rec in records:
+            pending.append(pool.submit(parse, rec))
+            if len(pending) >= window:
+                yield pending.popleft().result()
+        while pending:
+            yield pending.popleft().result()
 
 
 class TFRecordPairLoader:
@@ -98,7 +129,8 @@ class TFRecordPairLoader:
                  img_h: int, img_w: int, dataset: str = "market",
                  shuffle: bool = True, seed: int = 0,
                  shuffle_buffer: int = 512,
-                 host_id: int = 0, host_count: int = 1):
+                 host_id: int = 0, host_count: int = 1,
+                 num_workers: int = 0, prefetch_batches: int = 2):
         self.dataset_dir = dataset_dir
         self.batch_size = batch_size
         self.img_h, self.img_w = img_h, img_w
@@ -125,7 +157,27 @@ class TFRecordPairLoader:
         self.shards = shards
         self.num_samples = self._load_pair_count(split)
         self._it = iter_examples(shards, img_h, img_w, self.mask_keys,
-                                 repeat=shuffle)
+                                 repeat=shuffle, num_workers=num_workers)
+        # Batch prefetch: a daemon thread keeps `prefetch_batches` assembled
+        # batches ahead so host decode overlaps device compute (the
+        # reference's tf.train.batch queue runners, trainer.py:553-555).
+        self._queue: Optional[queue.Queue] = None
+        if num_workers > 0 and prefetch_batches > 0:
+            self._queue = queue.Queue(maxsize=prefetch_batches)
+            self._thread = threading.Thread(target=self._producer,
+                                            daemon=True)
+            self._thread.start()
+
+    _END = object()
+
+    def _producer(self) -> None:
+        try:
+            while True:
+                self._queue.put(self._assemble_batch())
+        except StopIteration:
+            self._queue.put(self._END)
+        except Exception as e:  # surface loader crashes to the consumer
+            self._queue.put(e)
 
     def _load_pair_count(self, split: str) -> Optional[int]:
         p = os.path.join(self.dataset_dir, f"pn_pairs_num_{split}.p")
@@ -149,9 +201,19 @@ class TFRecordPairLoader:
         self._buffer[idx], self._buffer[-1] = self._buffer[-1], self._buffer[idx]
         return self._buffer.pop()
 
+    def _assemble_batch(self) -> Dict[str, np.ndarray]:
+        samples = [self._next_sample() for _ in range(self.batch_size)]
+        return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
     def __iter__(self):
         return self
 
     def __next__(self) -> Dict[str, np.ndarray]:
-        samples = [self._next_sample() for _ in range(self.batch_size)]
-        return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+        if self._queue is None:
+            return self._assemble_batch()
+        item = self._queue.get()
+        if item is self._END:
+            raise StopIteration
+        if isinstance(item, Exception):
+            raise item
+        return item

@@ -34,13 +34,29 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = DATA_AXIS):
-    """Device_put a pytree of [B, ...] arrays with batch sharded on `axis`."""
+    """Pytree of [B, ...] arrays -> batch sharded on `axis`.
+
+    Single-process: device_put. Multi-host: each process passes its LOCAL
+    per-host batch (loader host_id/host_count shards) and the global array
+    is assembled across processes — device_put cannot target
+    non-addressable devices.
+    """
     sh = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
 def replicate(tree, mesh: Mesh):
     sh = replicated(mesh)
+    if jax.process_count() > 1:
+        # Every process holds the full value (same init seed / restored
+        # checkpoint), so local data == global data for a replicated spec.
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 

@@ -19,14 +19,20 @@ from dpig_tpu.data.synthetic import SyntheticLoader
 
 
 def make_loader(cfg: Config):
+    # Per-host loader: under multi-host each process reads a disjoint
+    # shard subset and a per-host slice of the global batch.
+    host_id, host_count = jax.process_index(), jax.process_count()
+    local_bs = cfg.batch_size // host_count
     if cfg.synthetic_data:
-        return SyntheticLoader(cfg.batch_size, cfg.img_H, cfg.img_W,
-                               seed=cfg.random_seed)
+        return SyntheticLoader(local_bs, cfg.img_H, cfg.img_W,
+                               seed=cfg.random_seed + host_id)
     from dpig_tpu.data.loader import TFRecordPairLoader
     return TFRecordPairLoader(
         cfg.data_path, cfg.split if cfg.is_train else "test",
-        cfg.batch_size, cfg.img_H, cfg.img_W, dataset=cfg.dataset,
-        shuffle=cfg.is_train, seed=cfg.random_seed)
+        local_bs, cfg.img_H, cfg.img_W, dataset=cfg.dataset,
+        shuffle=cfg.is_train, seed=cfg.random_seed,
+        num_workers=cfg.num_worker,
+        host_id=host_id, host_count=host_count)
 
 
 def train_model(cfg: Config) -> None:
@@ -142,6 +148,16 @@ def test_model(cfg: Config) -> None:
 
 def main() -> None:
     cfg = get_config()
+    if cfg.platform:
+        # Must happen before first device use; the sitecustomize pins
+        # jax_platforms to 'axon,cpu' so the env var alone is ignored.
+        jax.config.update("jax_platforms", cfg.platform)
+    if cfg.num_processes > 1 or cfg.coordinator_address:
+        from dpig_tpu.parallel.mesh import init_distributed
+        init_distributed(
+            coordinator_address=cfg.coordinator_address or None,
+            num_processes=cfg.num_processes if cfg.num_processes > 1 else None,
+            process_id=cfg.process_id if cfg.process_id >= 0 else None)
     cfg.save()
     print(f"[*] MODEL dir: {cfg.model_dir}")
     if cfg.model in (1, 2, 3, 4, 101, 102, 103, 104):

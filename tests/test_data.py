@@ -106,3 +106,54 @@ def test_native_scanner_matches_python(tmp_path, rng):
     assert [mf[i] for i in range(4)] == recs
     # reader fast path produces identical records
     assert list(tfrecord.read_records(path, verify_crc=True)) == recs
+
+
+def test_pair_loader_workers_order_identical(tmp_path, rng):
+    """Worker-pool path must produce byte-identical batches in the same
+    order as the sequential path (test-order determinism, reference
+    trainer.py:108-110)."""
+    from dpig_tpu.data.loader import TFRecordPairLoader
+    path = str(tmp_path / "d_train_0.tfrecord")
+    with tfrecord.TFRecordWriter(path) as w:
+        for _ in range(12):
+            w.write(make_example(rng))
+
+    def batches(num_workers, shuffle):
+        loader = TFRecordPairLoader(str(tmp_path), "train", batch_size=4,
+                                    img_h=32, img_w=16, shuffle=shuffle,
+                                    seed=7, num_workers=num_workers)
+        return [next(loader) for _ in range(3)]
+
+    for shuffle in (False, True):
+        seq = batches(0, shuffle)
+        par = batches(2, shuffle)
+        for b0, b1 in zip(seq, par):
+            assert set(b0) == set(b1)
+            for k in b0:
+                np.testing.assert_array_equal(b0[k], b1[k])
+
+
+def test_pair_loader_worker_throughput(tmp_path, rng):
+    """Measured sanity only (1-core CI box): the worker path must not be
+    slower than ~2x sequential, and it reports img/s for the record."""
+    import time
+    from dpig_tpu.data.loader import TFRecordPairLoader
+    path = str(tmp_path / "d_train_0.tfrecord")
+    with tfrecord.TFRecordWriter(path) as w:
+        for _ in range(64):
+            w.write(make_example(rng))
+
+    def measure(num_workers):
+        loader = TFRecordPairLoader(str(tmp_path), "train", batch_size=16,
+                                    img_h=32, img_w=16, shuffle=True,
+                                    seed=1, num_workers=num_workers)
+        next(loader)  # warm the pipeline
+        t0 = time.perf_counter()
+        for _ in range(6):
+            next(loader)
+        return 6 * 16 / (time.perf_counter() - t0)
+
+    seq = measure(0)
+    par = measure(2)
+    print(f"loader img/s: sequential={seq:.0f} workers2={par:.0f}")
+    assert par > seq * 0.5
