@@ -39,9 +39,12 @@ def build_pair_example(
     label: int, id_0: int, id_1: int, cam_0: int = 0, cam_1: int = 0,
     attrs_0: Optional[Sequence[int]] = None,
     attrs_1: Optional[Sequence[int]] = None,
+    attrs_w2v_0: Optional[dict] = None,    # dim -> floats (attrs.py)
+    attrs_w2v_1: Optional[dict] = None,
     mask_radii: Sequence[int] = (4, 7),    # Market: r4 + r7-as-'r6'
     mask_keys: Sequence[str] = ("pose_mask_r4", "pose_mask_r6"),
     part_bbox_fn=None,
+    roi10_masks: bool = False,             # DF roi10_mask_* (convert_DF.py:416-435)
     keypoint_num: int = 18,
     image_format: str = "jpg",
 ) -> Optional[bytes]:
@@ -68,6 +71,9 @@ def build_pair_example(
     _int64s(f, "real_data", [1])
     _int64s(f, "attrs_0", attrs_0 if attrs_0 is not None else [0] * 27)
     _int64s(f, "attrs_1", attrs_1 if attrs_1 is not None else [0] * 27)
+    for suffix, w2v in (("_0", attrs_w2v_0), ("_1", attrs_w2v_1)):
+        for dim, vals in (w2v or {}).items():
+            _floats(f, f"attrs_w2v{dim}{suffix}", vals)
 
     shape_flat = None
     for suffix, peaks in (("_0", peaks_0), ("_1", peaks_1)):
@@ -96,6 +102,9 @@ def build_pair_example(
         bboxes, vis = part_bbox_fn(peaks)
         _int64s(f, f"part_bbox{suffix}", np.asarray(bboxes, np.int64))
         _int64s(f, f"part_vis{suffix}", np.asarray(vis, np.int64))
+        if roi10_masks:
+            roi10 = pt.get_roi_mask10(bboxes, vis, height, width)
+            _int64s(f, f"roi10_mask{suffix}", roi10.astype(np.int64))
 
     _int64s(f, "shape", [shape_flat])
     return ex.SerializeToString()

@@ -93,7 +93,7 @@ def convert_pairs(img_dir: str, pairs, labels, all_peaks: Dict, subsets: Dict,
                   out_path: str, height: int, width: int,
                   mask_radii=(4, 7), mask_keys=("pose_mask_r4", "pose_mask_r6"),
                   part_bbox_fn=None, flip: bool = False,
-                  id_fn=None) -> int:
+                  id_fn=None, attributes=None, roi10_masks=False) -> int:
     """Write one tfrecord shard; returns number of examples written."""
     id_fn = id_fn or (lambda nm: (pair_mining.market_id_cam(nm)[0],
                                   int(pair_mining.market_id_cam(nm)[1])))
@@ -124,13 +124,21 @@ def convert_pairs(img_dir: str, pairs, labels, all_peaks: Dict, subsets: Dict,
                 i, c = id_fn(nm)
                 ids.append(id_map.setdefault(i, len(id_map)))
                 cams.append(c)
+            attr_kw = {}
+            if attributes is not None:
+                attr_kw = dict(
+                    attrs_0=attributes.onehot_for(a[0:4]),
+                    attrs_1=attributes.onehot_for(b[0:4]),
+                    attrs_w2v_0=attributes.w2v_for(a[0:4]),
+                    attrs_w2v_1=attributes.w2v_for(b[0:4]))
             rec = build_pair_example(
                 name_0=a, name_1=b, image_raw_0=raw_a, image_raw_1=raw_b,
                 peaks_0=pk_a, peaks_1=pk_b, height=height, width=width,
                 label=label, id_0=ids[0], id_1=ids[1],
                 cam_0=cams[0], cam_1=cams[1],
                 mask_radii=mask_radii, mask_keys=mask_keys,
-                part_bbox_fn=part_bbox_fn)
+                part_bbox_fn=part_bbox_fn, roi10_masks=roi10_masks,
+                **attr_kw)
             if rec is not None:
                 w.write(rec)
                 count += 1
@@ -141,7 +149,10 @@ def run(dataset: str, img_dir: str, pose_dir: str, out_dir: str,
         split: str = "train", height: Optional[int] = None,
         width: Optional[int] = None, flip_augment: bool = True,
         test_cap: Optional[int] = None,
-        max_pairs: Optional[int] = None) -> int:
+        max_pairs: Optional[int] = None,
+        attr_onehot_mat: Optional[str] = None,
+        attr_w2v_dir: Optional[str] = None,
+        roi10_masks: Optional[bool] = None) -> int:
     """dataset: 'market' | 'df' | 'rcv'.
 
     'rcv' is the generic converter (reference convert_RCV.py): pose_dir is
@@ -162,7 +173,15 @@ def run(dataset: str, img_dir: str, pose_dir: str, out_dir: str,
     if is_market:
         p_pairs, n_pairs = pair_mining.mine_pairs_market(filelist)
         mask_radii, mask_keys = (4, 7), ("pose_mask_r4", "pose_mask_r6")
-        part_fn = lambda pk: pt.get_part_bbox37(pk, height, width, radius=6)  # noqa: E731
+        if is_rcv:
+            # COCO/RCV bbox variant: WholeBody-adaptive radii + head-margin
+            # logic (convert_RCV.py:326-451 _get_part_bbox_COCO) instead of
+            # Market's fixed radius-6 boxes. The COCO pose-mask variant
+            # (_getPoseMask_COCO, convert_RCV.py:281-324) shares Market's
+            # limb table, so get_pose_mask is already exact.
+            part_fn = lambda pk: df_part_bbox37(pk, height, width)  # noqa: E731
+        else:
+            part_fn = lambda pk: pt.get_part_bbox37(pk, height, width, radius=6)  # noqa: E731
         id_fn = lambda nm: (pair_mining.market_id_cam(nm)[0],
                             int(pair_mining.market_id_cam(nm)[1]))  # noqa: E731
         name = "Market1501"
@@ -205,17 +224,28 @@ def run(dataset: str, img_dir: str, pose_dir: str, out_dir: str,
                 os.path.join(pose_dir, "subsets_dic_DeepFashion.p"))
             else os.path.join(pose_dir, "subsets_dic.p"))
 
+    attributes = None
+    if attr_onehot_mat or attr_w2v_dir:
+        from .attrs import MarketAttributes
+        attributes = MarketAttributes(attr_onehot_mat, attr_w2v_dir,
+                                      split=split, filenames=filelist)
+    if roi10_masks is None:
+        roi10_masks = dataset == "df"  # convert_DF.py:416-435
+
     shard = os.path.join(out_dir, f"{name}_{split}_00000-of-00001.tfrecord")
     n = convert_pairs(img_dir, pairs, labels, all_peaks, subsets, shard,
                       height, width, mask_radii, mask_keys, part_fn,
-                      flip=False, id_fn=id_fn)
+                      flip=False, id_fn=id_fn, attributes=attributes,
+                      roi10_masks=roi10_masks)
     total = n
     if split == "train" and flip_augment:
         shard_f = os.path.join(
             out_dir, f"{name}_train_flip_00000-of-00001.tfrecord")
         total += convert_pairs(img_dir, pairs, labels, all_peaks, subsets,
                                shard_f, height, width, mask_radii, mask_keys,
-                               part_fn, flip=True, id_fn=id_fn)
+                               part_fn, flip=True, id_fn=id_fn,
+                               attributes=attributes,
+                               roi10_masks=roi10_masks)
     with open(os.path.join(out_dir, f"pn_pairs_num_{split}.p"), "wb") as f:
         pickle.dump(total, f)
     print(f"wrote {total} examples -> {out_dir}")
@@ -232,9 +262,14 @@ def main() -> None:
     ap.add_argument("--H", type=int, default=None)
     ap.add_argument("--W", type=int, default=None)
     ap.add_argument("--no_flip", action="store_true")
+    ap.add_argument("--attr_onehot_mat", default=None,
+                    help="market_attribute.mat path (convert_market.py:774)")
+    ap.add_argument("--attr_w2v_dir", default=None,
+                    help="dir with *_att_wordvec_dim{25,50,100,150}.mat")
     a = ap.parse_args()
     run(a.dataset, a.img_dir, a.pose_dir, a.out_dir, split=a.split,
-        height=a.H, width=a.W, flip_augment=not a.no_flip)
+        height=a.H, width=a.W, flip_augment=not a.no_flip,
+        attr_onehot_mat=a.attr_onehot_mat, attr_w2v_dir=a.attr_w2v_dir)
 
 
 if __name__ == "__main__":

@@ -213,3 +213,56 @@ def maskrcnn_to_openpose_rcv(crs: np.ndarray, keypoint_num: int = 18
     if v0 and v1:
         rcv[1] = [(r0 + r1) / 2, (c0 + c1) / 2, 1]
     return rcv
+
+
+# DF 10-ROI body-region proposal masks (convert_DF.py:658-764). The five
+# small + five big region index sets select entries of the 37-part bbox
+# list; WholeBody (knee+ankle visible) switches the sets and the head/limb
+# margins. Missing regions are back-filled by the reference's
+# `np.random.choice(len)-1` index quirk (kept for bit parity).
+ROI10_SMALL_WHOLE = [[0], [3], [4], [5], [6]]
+ROI10_BIG_WHOLE = [[1], [2], [35], [36], [0, 1]]
+ROI10_SMALL_PART = [[0], [3], [4], [3], [4]]
+ROI10_BIG_PART = [[1], [35], [36], [35], [36]]
+
+
+def get_roi_mask10(part_bbox_list, visibility_list, img_h=256, img_w=256,
+                   rng=None) -> np.ndarray:
+    """[H, W, 10] 0/1 masks (1 = outside the region), convert_DF.py:658-764;
+    stacked in small+big order like roi10_mask_* (convert_DF.py:417)."""
+    rng = rng or np.random
+    whole = bool(visibility_list[13] and visibility_list[15])
+    sets = ((ROI10_SMALL_WHOLE, ROI10_BIG_WHOLE) if whole else
+            (ROI10_SMALL_PART, ROI10_BIG_PART))
+
+    def region_masks(idx_sets):
+        masks = []
+        for bbox_idxs in idx_sets:
+            y1, x1, y2, x2 = img_h - 1, img_w - 1, 0, 0
+            valid = False
+            for part_idx in bbox_idxs:
+                if not visibility_list[part_idx]:
+                    continue
+                valid = True
+                y1_t, x1_t, y2_t, x2_t = part_bbox_list[part_idx]
+                if part_idx == 0:  # enlarge the head roi
+                    y1_t = max(0, y1_t - (10 if whole else 20))
+                elif part_idx in (3, 4, 5, 6, 2, 35, 36):  # wrist/ankle
+                    y2_t = min(img_h - 1, y2_t + 20)
+                if not whole:
+                    y1_t = max(0, y1_t - 5)
+                    x1_t = max(0, x1_t - 5)
+                    y2_t = min(img_h - 1, y2_t + 5)
+                    x2_t = min(img_w - 1, x2_t + 5)
+                y1, x1 = min(y1, y1_t), min(x1, x1_t)
+                y2, x2 = max(y2, y2_t), max(x2, x2_t)
+            if valid:
+                m = np.ones([img_h, img_w], np.float32)
+                m[int(y1):int(y2), int(x1):int(x2)] = 0
+                masks.append(m)
+        while len(masks) < 5:
+            masks.append(masks[int(rng.choice(len(masks), 1) - 1)])
+        return masks
+
+    small, big = (region_masks(s) for s in sets)
+    return np.stack(small + big, axis=-1)

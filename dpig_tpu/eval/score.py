@@ -64,6 +64,38 @@ def score_stage1(model_dir: str, test_dir: str, masked: bool = False,
     return out
 
 
+def score_stage2(model_dir: str, test_dir: str,
+                 inception_pb: Optional[str] = None) -> dict:
+    """Two-stage (PG2-style G1/G2) scoring: both generated trees vs
+    x_target in one invocation (score.py:115-223)."""
+    root = os.path.join(model_dir, test_dir)
+    x_list = _load_dir(os.path.join(root, "x_target"))
+    out = {}
+    lines = [f"N: {len(x_list)}   "]
+    for gen in ("G1", "G2"):
+        g_list = _load_dir(os.path.join(root, gen))
+        assert len(g_list) == len(x_list) and g_list, (
+            f"need matching {gen}/ and x_target/ PNG dirs under {root}")
+        per = [metrics.score_pair_gray(g, x)
+               for g, x in zip(g_list, x_list)]
+        for k in ("ssim", "psnr", "l1", "l2"):
+            vals = [p[k] for p in per]
+            out[f"{k}_{gen}_x_mean"] = float(np.mean(vals))
+            out[f"{k}_{gen}_x_std"] = float(np.std(vals))
+            lines.append(f"{k}{gen}: {np.mean(vals):.5f} "
+                         f"+- {np.std(vals):.5f}   ")
+        if inception_pb:
+            is_mean, is_std = get_inception_score(
+                g_list, frozen_graph_logits_fn(inception_pb))
+            out[f"IS_{gen}_mean"], out[f"IS_{gen}_std"] = is_mean, is_std
+            lines.append(f"IS{gen}: {is_mean:.5f} +- {is_std:.5f}   ")
+    with open(os.path.join(root, "score.txt"), "w") as f:
+        f.write("".join(lines).rstrip() + "\n")
+    for k, v in out.items():
+        print(f"{k}: {v:.6f}")
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("stage", type=int)
@@ -72,11 +104,11 @@ def main() -> None:
     ap.add_argument("--mask", action="store_true")
     ap.add_argument("--inception_pb", default=None)
     a = ap.parse_args()
-    if a.stage != 1:
-        raise NotImplementedError("two-stage (G1/G2) scoring: use stage 1 "
-                                  "on each directory")
-    score_stage1(a.model_dir, a.test_dir, masked=a.mask,
-                 inception_pb=a.inception_pb)
+    if a.stage == 2:
+        score_stage2(a.model_dir, a.test_dir, inception_pb=a.inception_pb)
+    else:
+        score_stage1(a.model_dir, a.test_dir, masked=a.mask,
+                     inception_pb=a.inception_pb)
 
 
 if __name__ == "__main__":

@@ -66,10 +66,10 @@ def probe_flops():
 
 
 def _time_chain(fn, args, n, label, ops_per_iter):
-    f = jax.jit(fn, static_argnums=len(args))
-    np.asarray(jax.device_get(f(*args, 1)))  # compile+force
+    f = jax.jit(fn)  # n is TRACED: one compile per shape, no recompile
+    np.asarray(jax.device_get(f(*args, jnp.int32(1))))  # compile+force
     t0 = time.perf_counter()
-    out = f(*args, n)
+    out = f(*args, jnp.int32(n))
     np.asarray(jax.device_get(out))
     dt = (time.perf_counter() - t0) / n
     print(f"{label:28s} {dt*1e3:8.2f} ms/iter   "
@@ -81,13 +81,16 @@ def probe_convchain(batch):
     """Per-stage isolated int8 conv rate: each stride-1 same-width conv
     chained with itself (requant feedback). This is the compute ceiling the
     real network's stages should approach."""
-    rng = np.random.default_rng(0)
     stages = [(name, h, w, ci) for (name, h, w, ci, co, s, k)
               in generator_convs() if s == 1 and k == 3 and ci == co]
     for (name, h, w, ch) in stages:
-        kk = jnp.asarray(rng.integers(-8, 8, (3, 3, ch, ch)), dtype=jnp.int8)
-        x0 = jnp.asarray(rng.integers(-127, 127, (batch, h, w, ch)),
-                         dtype=jnp.int8)
+        # device-side init: host->device transfer through the remote
+        # tunnel is slow/limited for big arrays
+        kk, x0 = jax.jit(lambda: (
+            jax.random.randint(jax.random.PRNGKey(0), (3, 3, ch, ch),
+                               -8, 8, dtype=jnp.int8),
+            jax.random.randint(jax.random.PRNGKey(1), (batch, h, w, ch),
+                               -127, 127, dtype=jnp.int8)))()
 
         def step(x0, kk, n):
             def body(i, x):
@@ -104,7 +107,6 @@ def probe_convchain(batch):
 
 
 def probe_winomm(batch):
-    rng = np.random.default_rng(0)
     for (label, h, w, cin, cout) in [
         ("dec4 256->256 @128x64", 128, 64, 256, 256),
         ("dec3 512->512 @64x32", 64, 32, 512, 512),
@@ -112,9 +114,11 @@ def probe_winomm(batch):
         ("enc0 128->128 @128x64", 128, 64, 128, 128),
     ]:
         n = batch * (h // 2) * (w // 2)
-        u = jnp.asarray(rng.integers(-127, 127, (16, n, cin)), dtype=jnp.int8)
-        wk = jnp.asarray(rng.integers(-127, 127, (16, cin, cout)),
-                         dtype=jnp.int8)
+        u, wk = jax.jit(lambda: (
+            jax.random.randint(jax.random.PRNGKey(0), (16, n, cin),
+                               -127, 127, dtype=jnp.int8),
+            jax.random.randint(jax.random.PRNGKey(1), (16, cin, cout),
+                               -127, 127, dtype=jnp.int8)))()
 
         def mm(u0, wk, nn, cin=cin, cout=cout):
             def body(i, uu):

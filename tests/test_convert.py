@@ -149,3 +149,53 @@ def test_rcv_converter(tmp_path, rng):
     total = run("rcv", str(img_dir), str(pkl), str(tmp_path / "out"),
                 split="train", height=h, width=w, flip_augment=False)
     assert total > 0
+
+
+def test_roi_mask10_structure(rng):
+    from dpig_tpu.data import pose_tools as pt
+    peaks = _mk_peaks(rng, 64, 32)
+    peaks = [[p[0]] if p else [] for p in peaks]
+    bboxes, vis = pt.get_part_bbox37(peaks, 64, 32, radius=6)
+    roi10 = pt.get_roi_mask10(bboxes, vis, 64, 32,
+                              rng=np.random.RandomState(0))
+    assert roi10.shape == (64, 32, 10)
+    assert set(np.unique(roi10)) <= {0.0, 1.0}
+    # each mask zeroes out a region (unless no part was visible at all)
+    if any(vis):
+        assert roi10.min() == 0.0
+
+
+def test_attrs_ingestion(tmp_path):
+    """Round-trip the market_attribute .mat layout through
+    MarketAttributes (convert_market.py:755-800,411-434)."""
+    import scipy.io
+    from dpig_tpu.data.convert.attrs import MarketAttributes, build_id_map
+
+    files = ["0002_c1s1_000001_00.jpg", "0001_c1s1_000002_00.jpg",
+             "0001_c2s1_000003_00.jpg"]
+    id_map = build_id_map(files)
+    assert id_map == {"0001": 0, "0002": 1}
+
+    # market_attribute.mat: nested struct; the reference reads
+    # mat[split][0][0][name][0][0][0][id_idx] (convert_market.py:425-427)
+    n_ids = 2
+    mat_path = str(tmp_path / "market_attribute.mat")
+    scipy.io.savemat(mat_path, {"market_attribute": {
+        "train": {"age": np.array([[1, 3]]), "up": np.array([[2, 4]])},
+        "test": {"age": np.array([[1, 3]]), "up": np.array([[2, 4]])}}})
+
+    # w2v: [1] object array of n_attr rows, each [n_ids, dim]
+    w2v = np.empty((1, 2), dtype=object)
+    w2v[0, 0] = np.arange(n_ids * 3).reshape(n_ids, 3).astype(np.float32)
+    w2v[0, 1] = np.arange(n_ids * 3).reshape(n_ids, 3).astype(
+        np.float32) + 100
+    scipy.io.savemat(str(tmp_path / "train_att_wordvec_dim25.mat"),
+                     {"train_att": w2v})
+
+    attrs = MarketAttributes(mat_path, str(tmp_path), split="train",
+                             filenames=files)
+    assert attrs.onehot_for("0001") == [1, 2]
+    assert attrs.onehot_for("0002") == [3, 4]
+    v = attrs.w2v_for("0002")
+    assert list(v) == [25]
+    assert v[25] == [3.0, 4.0, 5.0, 103.0, 104.0, 105.0]

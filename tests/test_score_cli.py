@@ -55,3 +55,24 @@ def test_score_cli_on_generated_tree(tmp_path, rng):
     out2 = score_stage1(str(tmp_path), "test_result")
     assert out2["ssim_G_x_mean"] > 0.9999
     assert out2["l1_G_x_mean"] == 0.0
+
+
+def test_score_stage2_g1_g2(tmp_path, rng):
+    """score.py:115-223 two-stage branch: G1/ and G2/ both scored vs
+    x_target in one invocation."""
+    from dpig_tpu.eval.score import score_stage2
+    root = tmp_path / "test_result"
+    for sub in ("G1", "G2", "x_target"):
+        os.makedirs(root / sub)
+    for i in range(4):
+        x = rng.integers(0, 255, (32, 16, 3), dtype=np.uint8)
+        g1 = np.clip(x + rng.integers(-30, 30, x.shape), 0, 255)
+        Image.fromarray(x).save(root / "x_target" / f"{i:05d}.png")
+        Image.fromarray(g1.astype(np.uint8)).save(root / "G1" / f"{i:05d}.png")
+        Image.fromarray(x).save(root / "G2" / f"{i:05d}.png")  # identical
+    out = score_stage2(str(tmp_path), "test_result")
+    assert 0 < out["ssim_G1_x_mean"] <= 1.0
+    assert out["ssim_G2_x_mean"] > 0.9999  # G2 == x_target
+    assert out["l1_G2_x_mean"] == 0.0
+    txt = (root / "score.txt").read_text()
+    assert "ssimG1" in txt and "ssimG2" in txt
