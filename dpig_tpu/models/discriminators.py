@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import Dtype, d_init, leaky_relu
+from .layers import Dtype, d_init, leaky_relu, xavier
 
 
 class DCGANDiscriminator(nn.Module):
@@ -145,3 +145,100 @@ def get_discriminator(arch: str, *, n_stages: int = 4, mode: str = "dcgan",
     if arch.startswith("Patch"):
         return PatchDiscriminator(mode=mode, dtype=dtype)
     raise ValueError(f"You must choose an architecture! (got {arch!r})")
+
+
+class DCGANDiscriminatorAttr(nn.Module):
+    """Attribute head D (wgan_gp.py:442-472): two 5x5/2 convs with dropout
+    -> 512 FC -> attr_num logits. The reference feeds it 8x4 maps."""
+    attr_num: int = 27
+    dim: int = 64
+    keep_prob: float = 1.0
+    bn: bool = True
+    mode: str = "dcgan"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = True, dropout_rng=None):
+        def drop(h):
+            if self.keep_prob >= 1.0 or not train:
+                return h
+            return nn.Dropout(rate=1.0 - self.keep_prob,
+                              deterministic=False)(h, rng=dropout_rng)
+
+        x = nn.Conv(self.dim, (5, 5), strides=(2, 2), dtype=self.dtype,
+                    kernel_init=d_init())(x)
+        x = drop(leaky_relu(x))
+        x = nn.Conv(2 * self.dim, (5, 5), strides=(2, 2), dtype=self.dtype,
+                    kernel_init=d_init())(x)
+        if self.bn:
+            if self.mode == "wgan-gp":
+                x = nn.LayerNorm(dtype=self.dtype)(x)
+            else:
+                x = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.9, dtype=self.dtype)(x)
+        x = drop(leaky_relu(x))
+        x = x.reshape(x.shape[0], -1)
+        x = drop(leaky_relu(nn.Dense(512, dtype=self.dtype,
+                                     kernel_init=d_init())(x)))
+        return nn.Dense(self.attr_num, dtype=self.dtype,
+                        kernel_init=d_init())(x)
+
+
+class MultiplicativeDCGANDiscriminator(nn.Module):
+    """Gated-nonlinearity DCGAN D (wgan_gp.py:347-372): each conv emits
+    2x channels split into sigmoid/tanh gates."""
+    dim: int = 64
+    n_stages: int = 4
+    bn: bool = True
+    mode: str = "dcgan"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = True):
+        from .zoo import pixcnn_gated
+        ch = self.dim
+        for stage in range(self.n_stages):
+            x = nn.Conv(2 * ch, (5, 5), strides=(2, 2), dtype=self.dtype,
+                        kernel_init=d_init())(x)
+            if stage > 0 and self.bn:
+                if self.mode == "wgan-gp":
+                    x = nn.LayerNorm(dtype=self.dtype)(x)
+                else:
+                    x = nn.BatchNorm(use_running_average=not train,
+                                     momentum=0.9, dtype=self.dtype)(x)
+            # NHWC: even/odd channel split mirrors the NCHW [:, ::2]/[1::2]
+            x = pixcnn_gated(x[..., ::2], x[..., 1::2])
+            if stage < self.n_stages - 1:
+                ch = min(ch * 2, self.dim * 8)
+        x = x.reshape(x.shape[0], -1)
+        logit = nn.Dense(1, dtype=self.dtype, kernel_init=d_init(),
+                         name="logit")(x)
+        return logit.reshape(-1)
+
+
+class ResnetDiscriminator(nn.Module):
+    """Deep resnet D (wgan_gp.py:374-397): 1x1 stem, 5-6 residual blocks
+    per scale with 4 downsamples, logits/5."""
+    dim: int = 64
+    blocks_per_scale: int = 6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = True):
+        from .zoo import WGANResidualBlock
+        ch = self.dim // 2
+        x = nn.Conv(ch, (1, 1), dtype=self.dtype, kernel_init=xavier(),
+                    name="stem")(x)
+        for _ in range(self.blocks_per_scale - 1):
+            x = WGANResidualBlock(ch, 3, dtype=self.dtype)(x, train=train)
+        for _scale in range(4):
+            ch *= 2
+            x = WGANResidualBlock(ch, 3, resample="down",
+                                  dtype=self.dtype)(x, train=train)
+            for _ in range(self.blocks_per_scale):
+                x = WGANResidualBlock(ch, 3, dtype=self.dtype)(x,
+                                                               train=train)
+        x = x.reshape(x.shape[0], -1)
+        logit = nn.Dense(1, dtype=self.dtype, kernel_init=d_init(),
+                         name="logit")(x)
+        return logit.reshape(-1) / 5.0

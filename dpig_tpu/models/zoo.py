@@ -138,3 +138,104 @@ class ConvBnLeakyReLU(nn.Module):
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype)(x)
         return leaky_relu(x, self.alpha)
+
+
+def pixcnn_gated(a, b):
+    """Gated multiplicative nonlinearity (wgan_gp.py:42-43)."""
+    return jax.nn.sigmoid(a) * jnp.tanh(b)
+
+
+class SubpixelConv(nn.Module):
+    """Conv to 4x channels + 2x pixel shuffle (wgan_gp.py:45-51
+    SubpixelConv2D), NHWC (no transpose round-trips needed on TPU)."""
+    out_channels: int
+    kernel: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(4 * self.out_channels, (self.kernel, self.kernel),
+                    dtype=self.dtype, kernel_init=xavier())(x)
+        b, h, w, c4 = x.shape
+        c = c4 // 4
+        x = x.reshape(b, h, w, 2, 2, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5)
+        return x.reshape(b, h * 2, w * 2, c)
+
+
+class WGANResidualBlock(nn.Module):
+    """Bottleneck 1-3-1 residual block with 0.3-scaled branch + BN and
+    up/down resampling (wgan_gp.py:53-93 ResidualBlock)."""
+    out_channels: int
+    filter_size: int = 3
+    resample: Any = None          # None | 'down' | 'up'
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = True):
+        in_ch = x.shape[-1]
+        mid_in, mid_out = in_ch // 2, self.out_channels // 2
+        k = (self.filter_size, self.filter_size)
+
+        if self.resample is None and in_ch == self.out_channels:
+            shortcut = x
+        elif self.resample == "up":
+            shortcut = SubpixelConv(self.out_channels, 1,
+                                    dtype=self.dtype, name="shortcut")(x)
+        else:
+            stride = (2, 2) if self.resample == "down" else (1, 1)
+            shortcut = nn.Conv(self.out_channels, (1, 1), strides=stride,
+                               dtype=self.dtype, kernel_init=xavier(),
+                               name="shortcut")(x)
+
+        y = nn.relu(x)
+        y = nn.Conv(mid_in, (1, 1), dtype=self.dtype,
+                    kernel_init=xavier(), name="conv1")(y)
+        y = nn.relu(y)
+        if self.resample == "down":
+            y = nn.Conv(mid_out, k, strides=(2, 2), dtype=self.dtype,
+                        kernel_init=xavier(), name="conv1b")(y)
+        elif self.resample == "up":
+            y = upscale_nn(y, 2)
+            y = nn.Conv(mid_out, k, dtype=self.dtype,
+                        kernel_init=xavier(), name="conv1b")(y)
+        else:
+            y = nn.Conv(mid_out, k, dtype=self.dtype,
+                        kernel_init=xavier(), name="conv1b")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                    dtype=self.dtype, kernel_init=xavier(), name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype)(y)
+        return shortcut + 0.3 * y
+
+
+class ResnetGenerator(nn.Module):
+    """Deep resnet G (wgan_gp.py:330-356... :230-257 ResnetGenerator):
+    6 blocks per scale, 4 subpixel upsamples, tanh(out/5)."""
+    out_h: int = 128
+    out_w: int = 64
+    out_channels: int = 3
+    dim: int = 64
+    blocks_per_scale: int = 6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, noise, *, train: bool = True):
+        h0, w0 = self.out_h // 16, self.out_w // 16
+        ch = 8 * self.dim
+        x = nn.Dense(h0 * w0 * ch, dtype=self.dtype,
+                     kernel_init=xavier())(noise)
+        x = x.reshape(-1, h0, w0, ch)
+        for _scale in range(4):
+            for _ in range(self.blocks_per_scale):
+                x = WGANResidualBlock(ch, 3, dtype=self.dtype)(x,
+                                                               train=train)
+            ch //= 2
+            x = WGANResidualBlock(ch, 3, resample="up",
+                                  dtype=self.dtype)(x, train=train)
+        for _ in range(self.blocks_per_scale - 1):
+            x = WGANResidualBlock(ch, 3, dtype=self.dtype)(x, train=train)
+        x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                    kernel_init=xavier())(x)
+        return jnp.tanh(x / 5.0)

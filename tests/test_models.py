@@ -173,3 +173,44 @@ def test_uae_generator_constant_stem_equivalence():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(z_a), np.asarray(z_b),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_alt_discriminators_and_resnet_zoo():
+    """Optional-parity archs (wgan_gp.py:347-576, selector
+    trainer.py:151-158): shapes + finiteness on tiny inputs."""
+    import jax
+    import jax.numpy as jnp
+    from dpig_tpu.models.discriminators import (
+        DCGANDiscriminatorAttr, MultiplicativeDCGANDiscriminator,
+        ResnetDiscriminator)
+    from dpig_tpu.models.zoo import ResnetGenerator, SubpixelConv
+
+    rng = jax.random.PRNGKey(0)
+    x = jnp.ones((2, 32, 16, 3))
+
+    d_attr = DCGANDiscriminatorAttr(attr_num=5, dim=4)
+    v = jax.jit(lambda r, x: d_attr.init(r, x, train=True))(rng, x)
+    out = d_attr.apply(v, x, train=True, mutable=["batch_stats"])[0]
+    assert out.shape == (2, 5)
+
+    d_mult = MultiplicativeDCGANDiscriminator(dim=4, n_stages=3)
+    v = jax.jit(lambda r, x: d_mult.init(r, x, train=True))(rng, x)
+    out = d_mult.apply(v, x, train=True, mutable=["batch_stats"])[0]
+    assert out.shape == (2,)
+
+    d_res = ResnetDiscriminator(dim=8, blocks_per_scale=1)
+    v = jax.jit(lambda r, x: d_res.init(r, x, train=True))(rng, x)
+    out = d_res.apply(v, x, train=True, mutable=["batch_stats"])[0]
+    assert out.shape == (2,)
+
+    g_res = ResnetGenerator(out_h=32, out_w=16, dim=8, blocks_per_scale=1)
+    z = jnp.ones((2, 16))
+    v = jax.jit(lambda r, z: g_res.init(r, z, train=True))(rng, z)
+    img = g_res.apply(v, z, train=True, mutable=["batch_stats"])[0]
+    assert img.shape == (2, 32, 16, 3)
+    assert bool(jnp.all(jnp.isfinite(img)))
+
+    sp = SubpixelConv(out_channels=4)
+    v = jax.jit(sp.init)(rng, x)
+    y = sp.apply(v, x)
+    assert y.shape == (2, 64, 32, 4)
