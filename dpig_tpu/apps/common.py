@@ -21,8 +21,16 @@ def pose_maps_from_batch(batch: Dict[str, jax.Array], cfg: Config,
 
     TPU-first replacement for the reference's input-graph scatter+inflate
     (trainer.py:559-562): ship 54 floats per sample to the device and
-    rasterize there, fused into the step.
+    rasterize there, fused into the step. --pose_raster=pallas selects the
+    hand-written VPU kernel (ops/pose_pallas.py); 'xla' the jnp closed
+    form. Measured at bs256 on the v5e both are sub-ms and the surrounding
+    XLA fusion makes the closed form the safer default.
     """
+    if getattr(cfg, "pose_raster", "xla") == "pallas":
+        from ..ops.pose_pallas import render_pose_maps_pallas
+        return render_pose_maps_pallas(batch[key], cfg.img_H, cfg.img_W,
+                                       cfg.keypoint_num, radius=4,
+                                       normalized=False)
     return render_pose_maps(batch[key], cfg.img_H, cfg.img_W,
                             cfg.keypoint_num, radius=4, normalized=False)
 

@@ -98,6 +98,7 @@ class Config:
     num_processes: int = 1
     process_id: int = -1                # -1 = auto (from env)
     remat: bool = False                 # rematerialize generator activations
+    pose_raster: str = "xla"            # 'xla' closed form | 'pallas' kernel
     demo_img_dir: Optional[str] = None  # test_one_by_one inputs
     demo_pair_path: Optional[str] = None
     demo_all_peaks_path: Optional[str] = None

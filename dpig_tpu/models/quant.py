@@ -26,6 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..ops import wino
 from ..ops.image import upscale_nn
 from .generator import _constant_input_stem
 
@@ -79,24 +80,39 @@ def dec_layer_names(repeat_num: int) -> List[Tuple[str, str]]:
 
 def uae_forward(params, embs, pose, repeat_num: int, hidden_num: int,
                 quant: Optional[Dict] = None,
-                collect_stats: bool = False):
+                collect_stats: bool = False,
+                wino_layers: Optional[frozenset] = None):
     """Layer-by-layer UAEGenerator forward on raw params.
 
     quant=None, collect_stats=False  -> float forward (== module apply).
-    collect_stats=True               -> also return {layer: absmax(input)}.
-    quant={'weights': {name: (w8, w_scale)}, 'act_scales': {name: s}}
-                                     -> int8 conv path + conv-then-upscale.
+    collect_stats=True               -> also return {layer: absmax(input)}
+                                        (+ per-point U absmax for layers in
+                                        `wino_layers`, keyed 'wino/<name>').
+    quant={'weights': {name: (w8, w_scale)}, 'act_scales': {name: s},
+           'wino': {name: (w8_16, w_scale_16, u_scale_16)}}
+                                     -> int8 conv path + conv-then-upscale;
+                                        layers in 'wino' run the F(2x2,3x3)
+                                        transform-domain path (ops/wino.py).
     """
     stats: Dict[str, jax.Array] = {}
     dtype = jnp.bfloat16 if quant is not None else jnp.float32
+    wino_layers = wino_layers or frozenset()
 
     def record(name, x):
         if collect_stats:
             stats[name] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+            if name in wino_layers:
+                u = wino.input_transform(x.astype(jnp.float32))
+                stats[f"wino/{name}"] = jnp.max(jnp.abs(u), axis=(1, 2))
 
     def conv_apply(name, tree, x, stride=1, act=True):
         record(name, x)
-        if quant is not None and name in quant["weights"]:
+        if quant is not None and name in quant.get("wino", {}):
+            w8, w_scale, u_scale = quant["wino"][name]
+            out = wino.wino_conv_int8(
+                x, w8, w_scale, u_scale,
+                tree["bias"].astype(jnp.float32)).astype(jnp.bfloat16)
+        elif quant is not None and name in quant["weights"]:
             w8, w_scale = quant["weights"][name]
             out = _qconv(x, w8, w_scale, tree["bias"].astype(jnp.float32),
                          quant["act_scales"][name], stride)
@@ -179,34 +195,72 @@ def quantize_weights(params, repeat_num: int) -> Dict:
 
 
 def calibrate(params, embs_batches, pose_batches, repeat_num: int,
-              hidden_num: int) -> Dict[str, float]:
-    """absmax activation scales over calibration batches (float forward)."""
+              hidden_num: int, wino_layers: frozenset = frozenset()
+              ) -> Tuple[Dict[str, float], Dict[str, np.ndarray]]:
+    """absmax activation scales over calibration batches (float forward).
+
+    Returns (per-tensor scales, per-point U scales for wino layers)."""
     fwd = jax.jit(functools.partial(uae_forward, repeat_num=repeat_num,
                                     hidden_num=hidden_num,
-                                    collect_stats=True))
-    maxima: Dict[str, float] = {}
+                                    collect_stats=True,
+                                    wino_layers=wino_layers))
+    maxima: Dict[str, np.ndarray] = {}
     for embs, pose in zip(embs_batches, pose_batches):
         _, _, stats = fwd(params, embs, pose)
         for k, v in stats.items():
-            maxima[k] = max(maxima.get(k, 0.0), float(v))
-    return {k: max(v, 1e-12) / 127.0 for k, v in maxima.items()}
+            v = np.asarray(v)
+            maxima[k] = np.maximum(maxima.get(k, 0.0), v)
+    scales = {k: float(np.maximum(v, 1e-12)) / 127.0
+              for k, v in maxima.items() if not k.startswith("wino/")}
+    u_scales = {k[5:]: np.maximum(v, 1e-12) / 127.0
+                for k, v in maxima.items() if k.startswith("wino/")}
+    return scales, u_scales
+
+
+# Decoder stages where the Winograd path beats direct int8 on the v5e
+# (big stride-1 convs; see scripts/perf_probe.py winomm + CLAUDE.md).
+DEFAULT_WINO_LAYERS = frozenset()
+
+
+def _layer_param_tree(params, name: str):
+    scope, leaf = name.split("/") if "/" in name else (None, name)
+    if scope == "enc":
+        return params["ConvBlockTower_0"][leaf]
+    if scope == "dec":
+        return params[leaf]
+    return params[name]
 
 
 class QuantizedGenerator:
-    """Calibrated int8 UAE generator for inference."""
+    """Calibrated int8 UAE generator for inference.
 
-    def __init__(self, params, repeat_num: int, hidden_num: int):
+    wino_layers: layer names (e.g. 'dec/Conv_6') to run through the
+    F(2x2,3x3) transform-domain int8 path instead of direct int8 conv.
+    """
+
+    def __init__(self, params, repeat_num: int, hidden_num: int,
+                 wino_layers: frozenset = DEFAULT_WINO_LAYERS):
         self.params = params
         self.repeat_num = repeat_num
         self.hidden_num = hidden_num
+        self.wino_layers = frozenset(wino_layers)
         self.quant: Optional[Dict] = None
 
     def calibrate(self, embs_batches, pose_batches) -> "QuantizedGenerator":
-        act_scales = calibrate(self.params, embs_batches, pose_batches,
-                               self.repeat_num, self.hidden_num)
+        act_scales, u_scales = calibrate(
+            self.params, embs_batches, pose_batches, self.repeat_num,
+            self.hidden_num, wino_layers=self.wino_layers)
+        weights = quantize_weights(self.params, self.repeat_num)
+        wino_tables = {}
+        for name in self.wino_layers:
+            kernel = np.asarray(_layer_param_tree(self.params, name)["kernel"])
+            w8, w_scale = wino.quantize_wino_weights(kernel)
+            wino_tables[name] = (w8, w_scale, jnp.asarray(u_scales[name]))
+            weights.pop(name, None)  # replaced by the wino path
         self.quant = {
-            "weights": quantize_weights(self.params, self.repeat_num),
+            "weights": weights,
             "act_scales": {k: jnp.float32(v) for k, v in act_scales.items()},
+            "wino": wino_tables,
         }
         return self
 

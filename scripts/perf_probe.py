@@ -149,8 +149,33 @@ def main():
         probe_convchain(batch)
     elif probe == "winomm":
         probe_winomm(batch)
+    elif probe == "raster":
+        probe_raster(batch)
     else:
         raise SystemExit(f"unknown probe {probe}")
+
+
+
+
+def probe_raster(batch):
+    """Pose rasterizer: jnp closed form vs Pallas kernel at bs `batch`."""
+    from dpig_tpu.ops.pose import render_pose_maps
+    from dpig_tpu.ops.pose_pallas import render_pose_maps_pallas
+    rcv = jax.jit(lambda: jnp.concatenate([
+        jax.random.uniform(jax.random.PRNGKey(0), (batch, 18, 1)) * 127,
+        jax.random.uniform(jax.random.PRNGKey(1), (batch, 18, 1)) * 63,
+        jnp.ones((batch, 18, 1))], -1))()
+
+    for (label, fn) in (("xla closed form", render_pose_maps),
+                        ("pallas kernel", render_pose_maps_pallas)):
+        def chain(rcv, n, fn=fn):
+            def body(i, carry):
+                m = fn(carry, 128, 64, 18, radius=4, normalized=False)
+                # feed a reduction back so iterations can't be elided
+                return carry + m.mean() * 0.0
+            return jax.lax.fori_loop(0, n, body, rcv)
+        _time_chain(chain, (rcv,), 50, f"raster {label} bs{batch}",
+                    batch * 128 * 64 * 18)
 
 
 if __name__ == "__main__":
