@@ -40,6 +40,10 @@ def main() -> None:
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     dtype = sys.argv[3] if len(sys.argv) > 3 else "int8"
+    mode = sys.argv[4] if len(sys.argv) > 4 else "gen"
+    if mode == "transfer":
+        bench_transfer(batch_size, n_iters, dtype)
+        return
 
     cfg = Config(img_H=128, img_W=64, batch_size=batch_size,
                  compute_dtype="bfloat16", model_dir="/tmp/bench")
@@ -112,6 +116,88 @@ def main() -> None:
     imgs_per_sec = n_iters * batch_size / dt
     print(json.dumps({
         "metric": f"virtual_person_generation_128x64_{dtype}",
+        "value": round(imgs_per_sec, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
+    }))
+
+
+def bench_transfer(batch_size: int, n_iters: int, dtype: str) -> None:
+    """Pose-transfer path (model 12, tester.py:616-767): int8 encoder
+    (models/quant.py roi_fgbg_forward) + int8 generator, chained."""
+    import jax
+    import jax.numpy as jnp
+
+    from dpig_tpu.apps.common import select_parts
+    from dpig_tpu.apps.stage1_app import Stage1App
+    from dpig_tpu.config import Config
+    from dpig_tpu.data.synthetic import synthetic_batch
+    from dpig_tpu.models import quant as quant_mod
+    from dpig_tpu.ops.pose import render_pose_maps
+
+    cfg = Config(img_H=128, img_W=64, batch_size=batch_size,
+                 compute_dtype="bfloat16", model_dir="/tmp/bench")
+    app = Stage1App(cfg)
+    state = app.init_state(jax.random.PRNGKey(0))
+    enc_params = state.g_params["Encoder"]
+    gen_params = state.g_params["ID_AE"]
+
+    b = synthetic_batch(np.random.default_rng(0), batch_size, cfg.img_H,
+                        cfg.img_W)
+    x = jnp.asarray(b["x"])
+    mask = jnp.asarray(b["mask_r6"])
+    bbox, vis = select_parts(jnp.asarray(b["part_bbox"]),
+                             jnp.asarray(b["part_vis"]), cfg.roi_part_num)
+    pose_t = render_pose_maps(jnp.asarray(b["pose_rcv_target"]), cfg.img_H,
+                              cfg.img_W, cfg.keypoint_num, radius=4,
+                              normalized=False)
+
+    enc_quant = gen_quant = None
+    if dtype == "int8":
+        qe = quant_mod.QuantizedEncoder(enc_params, cfg.repeat_num,
+                                        cfg.conv_hidden_num)
+        qe.calibrate([(x, mask, bbox, vis)])
+        enc_quant = qe.quant
+        embs0 = quant_mod.roi_fgbg_forward(
+            enc_params, x, mask, bbox, vis, cfg.repeat_num,
+            cfg.conv_hidden_num)
+        qg = quant_mod.QuantizedGenerator(gen_params, cfg.repeat_num,
+                                          cfg.conv_hidden_num)
+        qg.calibrate([embs0], [pose_t])
+        gen_quant = qg.quant
+
+    @jax.jit
+    def transfer_chain(enc_params, gen_params, enc_quant, gen_quant,
+                       x0, mask, bbox, vis, pose_t, n):
+        def body(i, x):
+            if enc_quant is not None:
+                embs = quant_mod.roi_fgbg_forward(
+                    enc_params, x, mask, bbox, vis, cfg.repeat_num,
+                    cfg.conv_hidden_num, quant=enc_quant)
+                g_raw, _ = quant_mod.uae_forward(
+                    gen_params, embs, pose_t, cfg.repeat_num,
+                    cfg.conv_hidden_num, quant=gen_quant)
+            else:
+                embs = app._encode(enc_params, x, mask, bbox, vis)
+                g_raw, _ = app.generator.apply(
+                    {"params": gen_params}, None, pose_t, embs_const=embs)
+            # feed the generated image back as the next source
+            return jnp.clip(g_raw.astype(jnp.float32), -1.0, 1.0)
+
+        out = jax.lax.fori_loop(0, n, body, x0)
+        return jnp.clip((out + 1.0) * 127.5, 0.0, 255.0).astype(jnp.uint8)
+
+    args = (enc_params, gen_params, enc_quant, gen_quant, x, mask, bbox,
+            vis, pose_t)
+    _ = np.asarray(transfer_chain(*args, 1)[0, 0, 0])
+    t0 = time.perf_counter()
+    out = transfer_chain(*args, n_iters)
+    _ = np.asarray(out[0, 0, 0])
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = n_iters * batch_size / dt
+    print(json.dumps({
+        "metric": f"pose_transfer_128x64_{dtype}",
         "value": round(imgs_per_sec, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),

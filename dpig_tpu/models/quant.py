@@ -81,7 +81,8 @@ def dec_layer_names(repeat_num: int) -> List[Tuple[str, str]]:
 def uae_forward(params, embs, pose, repeat_num: int, hidden_num: int,
                 quant: Optional[Dict] = None,
                 collect_stats: bool = False,
-                wino_layers: Optional[frozenset] = None):
+                wino_layers: Optional[frozenset] = None,
+                calib_percentile: Optional[float] = None):
     """Layer-by-layer UAEGenerator forward on raw params.
 
     quant=None, collect_stats=False  -> float forward (== module apply).
@@ -100,10 +101,16 @@ def uae_forward(params, embs, pose, repeat_num: int, hidden_num: int,
 
     def record(name, x):
         if collect_stats:
-            stats[name] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+            a = jnp.abs(x.astype(jnp.float32))
+            # absmax by default; percentile clipping (e.g. 99.9) trades a
+            # little saturation for finer quantization steps
+            stats[name] = (jnp.max(a) if calib_percentile is None else
+                           jnp.percentile(a, calib_percentile))
             if name in wino_layers:
-                u = wino.input_transform(x.astype(jnp.float32))
-                stats[f"wino/{name}"] = jnp.max(jnp.abs(u), axis=(1, 2))
+                u = jnp.abs(wino.input_transform(x.astype(jnp.float32)))
+                stats[f"wino/{name}"] = (
+                    jnp.max(u, axis=(1, 2)) if calib_percentile is None
+                    else jnp.percentile(u, calib_percentile, axis=(1, 2)))
 
     def conv_apply(name, tree, x, stride=1, act=True):
         record(name, x)
@@ -195,15 +202,18 @@ def quantize_weights(params, repeat_num: int) -> Dict:
 
 
 def calibrate(params, embs_batches, pose_batches, repeat_num: int,
-              hidden_num: int, wino_layers: frozenset = frozenset()
+              hidden_num: int, wino_layers: frozenset = frozenset(),
+              calib_percentile: Optional[float] = None
               ) -> Tuple[Dict[str, float], Dict[str, np.ndarray]]:
-    """absmax activation scales over calibration batches (float forward).
+    """Activation scales over calibration batches (float forward); absmax
+    by default, percentile clipping when `calib_percentile` is set.
 
     Returns (per-tensor scales, per-point U scales for wino layers)."""
     fwd = jax.jit(functools.partial(uae_forward, repeat_num=repeat_num,
                                     hidden_num=hidden_num,
                                     collect_stats=True,
-                                    wino_layers=wino_layers))
+                                    wino_layers=wino_layers,
+                                    calib_percentile=calib_percentile))
     maxima: Dict[str, np.ndarray] = {}
     for embs, pose in zip(embs_batches, pose_batches):
         _, _, stats = fwd(params, embs, pose)
@@ -239,17 +249,20 @@ class QuantizedGenerator:
     """
 
     def __init__(self, params, repeat_num: int, hidden_num: int,
-                 wino_layers: frozenset = DEFAULT_WINO_LAYERS):
+                 wino_layers: frozenset = DEFAULT_WINO_LAYERS,
+                 calib_percentile: Optional[float] = None):
         self.params = params
         self.repeat_num = repeat_num
         self.hidden_num = hidden_num
         self.wino_layers = frozenset(wino_layers)
+        self.calib_percentile = calib_percentile
         self.quant: Optional[Dict] = None
 
     def calibrate(self, embs_batches, pose_batches) -> "QuantizedGenerator":
         act_scales, u_scales = calibrate(
             self.params, embs_batches, pose_batches, self.repeat_num,
-            self.hidden_num, wino_layers=self.wino_layers)
+            self.hidden_num, wino_layers=self.wino_layers,
+            calib_percentile=self.calib_percentile)
         weights = quantize_weights(self.params, self.repeat_num)
         wino_tables = {}
         for name in self.wino_layers:
@@ -268,3 +281,153 @@ class QuantizedGenerator:
         assert self.quant is not None, "calibrate() first"
         return uae_forward(self.params, embs, pose, self.repeat_num,
                            self.hidden_num, quant=self.quant)
+
+
+# --------------------------------------------------------------- encoder
+def _tower(conv_apply, tree, x, repeat_num, prefix):
+    """ConvBlockTower mirror (no skips) on raw params."""
+    ni = 0
+    names = enc_layer_names(repeat_num)
+    for idx in range(repeat_num):
+        res = x
+        x = conv_apply(f"{prefix}/{names[ni][1]}", tree[names[ni][1]], x)
+        ni += 1
+        x = conv_apply(f"{prefix}/{names[ni][1]}", tree[names[ni][1]], x)
+        ni += 1
+        x = x + res
+        if idx < repeat_num - 1:
+            x = conv_apply(f"{prefix}/{names[ni][1]}", tree[names[ni][1]],
+                           x, stride=2)
+            ni += 1
+    return x
+
+
+def roi_fgbg_forward(params, x, fg_mask, part_bbox, part_vis,
+                     repeat_num: int, hidden_num: int, z_num: int = 32,
+                     part_num: int = 7, roi_size: int = 48,
+                     quant: Optional[Dict] = None,
+                     collect_stats: bool = False):
+    """Layer-by-layer RoiEncoderFgBg forward on raw params (int8-capable).
+
+    Float path is unit-tested equal to the flax module; with `quant` the
+    stem's two wide convs and both towers run int8 (per-tensor activation
+    scales, per-channel weights). The MXU interpolation-matrix crops stay
+    f32 — they are <1% of encoder FLOPs. This is the transfer-path
+    (model 12, tester.py:616-767) speed lever: the encoder is ~45% of the
+    path's MACs.
+    """
+    from ..ops.crop import crop_body_rois_mm
+    stats: Dict[str, jax.Array] = {}
+    dtype = jnp.bfloat16 if quant is not None else jnp.float32
+
+    def record(name, v):
+        if collect_stats:
+            stats[name] = jnp.max(jnp.abs(v.astype(jnp.float32)))
+
+    def conv_apply(name, tree, v, stride=1, act=True):
+        record(name, v)
+        if quant is not None and name in quant["weights"]:
+            w8, w_scale = quant["weights"][name]
+            out = _qconv(v, w8, w_scale, tree["bias"].astype(jnp.float32),
+                         quant["act_scales"][name], stride)
+        else:
+            out = _conv(v.astype(dtype), tree["kernel"].astype(dtype),
+                        tree["bias"].astype(dtype), stride)
+        return _REL(out) if act else out
+
+    stem = params["_Stem_0"]
+    x = conv_apply("stem/Conv_0", stem["Conv_0"], x.astype(dtype))
+    res = x
+    x = conv_apply("stem/Conv_1", stem["Conv_1"], x)
+    x = conv_apply("stem/Conv_2", stem["Conv_2"], x)
+    x = x + res
+
+    m = fg_mask.astype(x.dtype)
+    x_fg = x * m
+    x_bg = x * (1.0 - m)
+
+    rois = crop_body_rois_mm(x_fg, part_bbox, roi_size).astype(dtype)
+    fg = _tower(conv_apply, params["fg_tower"]["ConvBlockTower_0"], rois,
+                repeat_num, "fg")
+    fg = fg.reshape(fg.shape[0], -1).astype(dtype)
+    fg = fg @ params["fg_tower"]["Dense_0"]["kernel"].astype(dtype) \
+        + params["fg_tower"]["Dense_0"]["bias"].astype(dtype)
+
+    pb, z = fg.shape
+    b = pb // part_num
+    fea = fg.reshape(part_num, b, z)
+    if part_vis is not None:
+        fea = fea * part_vis.astype(fea.dtype).T[:, :, None]
+    fg = jnp.transpose(fea, (1, 0, 2)).reshape(b, part_num * z)
+
+    bg = _tower(conv_apply, params["bg_tower"], x_bg, repeat_num, "bg")
+    bg = bg.reshape(bg.shape[0], -1).astype(dtype)
+    bg = bg @ params["bg_fc"]["kernel"].astype(dtype) \
+        + params["bg_fc"]["bias"].astype(dtype)
+
+    out = jnp.concatenate([fg, bg], axis=-1).astype(jnp.float32)
+    if collect_stats:
+        return out, stats
+    return out
+
+
+def quantize_encoder_weights(params, repeat_num: int) -> Dict:
+    """int8 weights for the FgBg encoder's stem + both towers."""
+    weights = {}
+
+    def q(kernel):
+        k = np.asarray(kernel, np.float32)
+        scale = np.abs(k).reshape(-1, k.shape[-1]).max(0) / 127.0
+        scale = np.maximum(scale, 1e-12)
+        w8 = np.clip(np.round(k / scale), -127, 127).astype(np.int8)
+        return jnp.asarray(w8), jnp.asarray(scale.astype(np.float32))
+
+    for i in range(3):
+        weights[f"stem/Conv_{i}"] = q(params["_Stem_0"][f"Conv_{i}"]["kernel"])
+    for _, name in enc_layer_names(repeat_num):
+        weights[f"fg/{name}"] = q(
+            params["fg_tower"]["ConvBlockTower_0"][name]["kernel"])
+        weights[f"bg/{name}"] = q(params["bg_tower"][name]["kernel"])
+    # the 3->hidden stem conv is tiny and int8 gains nothing: keep f32
+    del weights["stem/Conv_0"]
+    return weights
+
+
+class QuantizedEncoder:
+    """Calibrated int8 RoiEncoderFgBg for inference (transfer path)."""
+
+    def __init__(self, params, repeat_num: int, hidden_num: int,
+                 roi_size: int = 48, part_num: int = 7):
+        self.params = params
+        self.repeat_num = repeat_num
+        self.hidden_num = hidden_num
+        self.roi_size = roi_size
+        self.part_num = part_num
+        self.quant: Optional[Dict] = None
+
+    def calibrate(self, batches) -> "QuantizedEncoder":
+        """batches: iterable of (x, fg_mask, part_bbox, part_vis)."""
+        fwd = jax.jit(functools.partial(
+            roi_fgbg_forward, repeat_num=self.repeat_num,
+            hidden_num=self.hidden_num, roi_size=self.roi_size,
+            part_num=self.part_num, collect_stats=True))
+        maxima: Dict[str, float] = {}
+        for (x, mask, bbox, vis) in batches:
+            _, stats = fwd(self.params, x, mask, bbox, vis)
+            for k, v in stats.items():
+                maxima[k] = max(maxima.get(k, 0.0), float(v))
+        act_scales = {k: jnp.float32(max(v, 1e-12) / 127.0)
+                      for k, v in maxima.items()}
+        self.quant = {
+            "weights": quantize_encoder_weights(self.params,
+                                                self.repeat_num),
+            "act_scales": act_scales,
+        }
+        return self
+
+    def __call__(self, x, fg_mask, part_bbox, part_vis):
+        assert self.quant is not None, "calibrate() first"
+        return roi_fgbg_forward(self.params, x, fg_mask, part_bbox,
+                                part_vis, self.repeat_num, self.hidden_num,
+                                roi_size=self.roi_size,
+                                part_num=self.part_num, quant=self.quant)

@@ -65,12 +65,22 @@ def probe_flops():
           f"3106 img/s = {3106*2*total/1e12:.0f} TOPS effective")
 
 
+def _force(out):
+    """Demand ONE scalar to force execution — device_get of the full
+    tensor would time the slow host tunnel, not the chip (a 256MB pull
+    dwarfs any compute; see bench.py methodology)."""
+    x = out
+    while hasattr(x, "ndim") and x.ndim > 0:
+        x = x[0]
+    return np.asarray(x)
+
+
 def _time_chain(fn, args, n, label, ops_per_iter):
     f = jax.jit(fn)  # n is TRACED: one compile per shape, no recompile
-    np.asarray(jax.device_get(f(*args, jnp.int32(1))))  # compile+force
+    _force(f(*args, jnp.int32(1)))  # compile+force
     t0 = time.perf_counter()
     out = f(*args, jnp.int32(n))
-    np.asarray(jax.device_get(out))
+    _force(out)
     dt = (time.perf_counter() - t0) / n
     print(f"{label:28s} {dt*1e3:8.2f} ms/iter   "
           f"{ops_per_iter/dt/1e12:7.1f} TOPS", flush=True)

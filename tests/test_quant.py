@@ -102,3 +102,40 @@ def test_quantized_generator_wino_layers_close_to_float():
     err = np.abs(np.asarray(int8_out) - np.asarray(float_out)).mean()
     ref = np.abs(np.asarray(float_out)).mean()
     assert err / ref < 0.06, (err, ref)
+
+
+def test_encoder_forward_matches_module_and_int8_close():
+    """roi_fgbg_forward float path == RoiEncoderFgBg.apply; int8 error in
+    the same class as the generator's."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from dpig_tpu.models import quant as q
+    from dpig_tpu.models.encoders import RoiEncoderFgBg
+
+    repeat, hidden, z, parts, roi = 3, 16, 8, 7, 12
+    enc = RoiEncoderFgBg(part_num=parts, z_num=z, repeat_num=repeat,
+                         hidden_num=hidden, roi_size=roi)
+    rng = np.random.default_rng(0)
+    b, h, w = 2, 32, 16
+    x = jnp.asarray(rng.normal(0, 0.5, (b, h, w, 3)), jnp.float32)
+    mask = jnp.asarray(rng.integers(0, 2, (b, h, w, 1)), jnp.float32)
+    bbox = jnp.asarray(
+        np.stack([[0, 0, 16, 8]] * parts * b).reshape(b, parts, 4))
+    vis = jnp.ones((b, parts))
+    params = jax.jit(enc.init)(jax.random.PRNGKey(0), x, mask, bbox,
+                               vis)["params"]
+
+    want = enc.apply({"params": params}, x, mask, bbox, vis)
+    got = q.roi_fgbg_forward(params, x, mask, bbox, vis, repeat, hidden,
+                             z_num=z, part_num=parts, roi_size=roi)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    qe = q.QuantizedEncoder(params, repeat, hidden, roi_size=roi,
+                            part_num=parts)
+    qe.calibrate([(x, mask, bbox, vis)])
+    got8 = qe(x, mask, bbox, vis)
+    err = np.abs(np.asarray(got8) - np.asarray(want)).mean()
+    ref = np.abs(np.asarray(want)).mean() + 1e-9
+    assert err / ref < 0.08, (err, ref)
