@@ -32,6 +32,24 @@ from .generator import _constant_input_stem
 
 _REL = jax.nn.relu
 
+# TPU layout pin for int8 activations: minor-to-major (C, B, W, H), i.e.
+# channels in lanes and BATCH in sublanes. Measured on the v5e: XLA's
+# conv emitter for this layout (EmitAllBatchInSublanes) runs the big
+# generator convs at 364-390 int8 TOPS (92-99% of the 394 peak), while
+# the batch-minor layout XLA otherwise propagates from the 18-channel
+# pose / 3-channel RGB tensors forces EmitInputBatchInLanes at ~160-180
+# TOPS on every full-resolution conv. Pinning costs nothing where the
+# layout already matches.
+_FAST_LAYOUT_MTM = (1, 2, 0, 3)  # major->minor H, W, B, C
+
+
+def _pin_layout(x):
+    """Constrain a 4D activation to the fast conv layout (TPU only)."""
+    if x.ndim != 4 or jax.default_backend() != "tpu":
+        return x
+    from jax.experimental.layout import Layout, with_layout_constraint
+    return with_layout_constraint(x, Layout(major_to_minor=_FAST_LAYOUT_MTM))
+
 
 def _conv(x, kernel, bias=None, stride=1, prefer=None):
     out = jax.lax.conv_general_dilated(
@@ -46,13 +64,14 @@ def _conv(x, kernel, bias=None, stride=1, prefer=None):
 def _qconv(x, w8, w_scale, bias, s_x, stride=1):
     """int8 conv: quantize activations, accumulate int32, dequantize."""
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x), -127, 127)
-    q = q.astype(jnp.int8)
+    q = _pin_layout(q.astype(jnp.int8))
     acc = jax.lax.conv_general_dilated(
         q, w8, (stride, stride), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32)
-    return (acc.astype(jnp.float32) * (s_x * w_scale) + bias).astype(
+    out = (acc.astype(jnp.float32) * (s_x * w_scale) + bias).astype(
         jnp.bfloat16)
+    return _pin_layout(out)
 
 
 def enc_layer_names(repeat_num: int) -> List[Tuple[str, str]]:
