@@ -320,18 +320,26 @@ def _uae_forward_int8(params, embs, pose, repeat_num: int, hidden_num: int,
             z8 = upscale_nn(z8_half, 2)
             ni += 1
         else:
-            r_bf = qconv(f"dec/{nb}", params[nb], q_mid, res8=cat8,
-                         res_scale=s_a)
+            r8 = qconv(f"dec/{nb}", params[nb], q_mid, res8=cat8,
+                       res_scale=s_a, out_scale=s["to_rgb"])
 
-    # to_rgb stays bf16 (3 output channels, <0.2% of FLOPs)
-    out = _conv(r_bf, params["to_rgb"]["kernel"].astype(jnp.bfloat16),
-                params["to_rgb"]["bias"].astype(jnp.bfloat16))
+    # int8 to_rgb: tiny FLOPs, but the s8 path lets dec_b's epilogue emit
+    # s8 instead of a bf16 round-trip (profiled ~2.4 ms/batch at bs256)
+    if "to_rgb" in W:
+        w8, w_scale = W["to_rgb"]
+        acc = _qconv_raw(r8, w8)
+        out = (acc.astype(jnp.float32) * (s["to_rgb"] * w_scale)
+               + params["to_rgb"]["bias"].astype(jnp.float32))
+    else:
+        out = _conv(r8.astype(jnp.float32) * s["to_rgb"],
+                    params["to_rgb"]["kernel"].astype(jnp.float32),
+                    params["to_rgb"]["bias"].astype(jnp.float32))
     return out.astype(jnp.float32), z
 
 
 def quantize_weights(params, repeat_num: int) -> Dict:
     """Per-output-channel symmetric int8 weights for all tower/decoder
-    convs (stem, denses, to_rgb stay float)."""
+    convs and to_rgb (stem + denses stay float)."""
     weights = {}
 
     def q(kernel):
@@ -345,6 +353,7 @@ def quantize_weights(params, repeat_num: int) -> Dict:
         weights[f"enc/{name}"] = q(params["ConvBlockTower_0"][name]["kernel"])
     for _, name in dec_layer_names(repeat_num):
         weights[f"dec/{name}"] = q(params[name]["kernel"])
+    weights["to_rgb"] = q(params["to_rgb"]["kernel"])
     return weights
 
 
