@@ -37,7 +37,7 @@ def main() -> None:
     from dpig_tpu.models.mappers import GaussianMapper, sample_mapper_noise
     from dpig_tpu.ops.pose import render_pose_maps
 
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     dtype = sys.argv[3] if len(sys.argv) > 3 else "int8"
     mode = sys.argv[4] if len(sys.argv) > 4 else "gen"
