@@ -83,13 +83,17 @@ def main() -> None:
                                 cfg.keypoint_num, radius=4, normalized=False)
 
         def body(i, carry):
-            r = jax.random.fold_in(rng, i)
+            # chain through ONE pixel of the previous uint8 images so the
+            # lazy backend cannot elide or reorder iterations, without a
+            # full-tensor feedback pass
+            r = jax.random.fold_in(rng, i + carry[0, 0, 0, 0].astype(
+                jnp.int32))
             rf, rb = jax.random.split(r)
             fg = mapper_fg.apply({"params": mf},
                                  sample_mapper_noise(rf, batch_size, fg_dim))
             bg = mapper_bg.apply({"params": mb},
                                  sample_mapper_noise(rb, batch_size, bg_dim))
-            embs = jnp.concatenate([fg, bg], -1) + carry[:, :1, 0, 0] * 0
+            embs = jnp.concatenate([fg, bg], -1)
             if quant_tables is not None:
                 from dpig_tpu.models import quant as quant_mod
                 g_raw, _ = quant_mod.uae_forward(
@@ -98,12 +102,12 @@ def main() -> None:
             else:
                 g_raw, _ = app.generator.apply(
                     {"params": gen_params}, None, pose, embs_const=embs)
-            return g_raw.astype(jnp.float32)
+            return jnp.clip((g_raw.astype(jnp.float32) + 1.0) * 127.5,
+                            0.0, 255.0).astype(jnp.uint8)
 
-        out = jax.lax.fori_loop(0, n, body,
-                                jnp.zeros((batch_size, cfg.img_H,
-                                           cfg.img_W, 3)))
-        return jnp.clip((out + 1.0) * 127.5, 0.0, 255.0).astype(jnp.uint8)
+        return jax.lax.fori_loop(0, n, body,
+                                 jnp.zeros((batch_size, cfg.img_H,
+                                            cfg.img_W, 3), jnp.uint8))
 
     args = (gen_params, quant_tables, mf, mb, pose_rcv,
             jax.random.PRNGKey(2))
