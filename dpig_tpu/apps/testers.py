@@ -17,6 +17,7 @@ never decoded. `pose_source` selects:
 from __future__ import annotations
 
 import functools
+import itertools
 import os
 from typing import Dict, Iterator, Optional
 
@@ -109,14 +110,62 @@ class _TesterBase:
         cfg = self.cfg
         bbox, vis = select_parts(batch["part_bbox"], batch["part_vis"],
                                  cfg.roi_part_num)
+        if "_quant_enc" in params:
+            from ..models import quant as quant_mod
+            return quant_mod.roi_fgbg_forward(
+                params["Encoder"], batch["x"], batch["mask_r6"], bbox, vis,
+                cfg.repeat_num, cfg.conv_hidden_num,
+                part_num=cfg.roi_part_num, quant=params["_quant_enc"])
         return self.stage1._encode(params["Encoder"], batch["x"],
                                    batch["mask_r6"], bbox, vis)
 
     def _generate(self, params, embs, pose_maps):
+        if "_quant_gen" in params:
+            from ..models import quant as quant_mod
+            gen_repeat = (self.cfg.repeat_num - 1 if self.cfg.img_H >= 256
+                          else self.cfg.repeat_num)
+            g_raw, _ = quant_mod.uae_forward(
+                params["ID_AE"], embs, pose_maps, gen_repeat,
+                self.cfg.conv_hidden_num, quant=params["_quant_gen"])
+            return g_raw.astype(jnp.float32)
         g_raw, _ = self.stage1.generator.apply(
             {"params": params["ID_AE"]}, None, pose_maps,
             embs_const=embs)
         return g_raw.astype(jnp.float32)
+
+    def _inference_params(self, first_batch):
+        """Params for the jitted steps, honoring cfg.inference_dtype.
+
+        'int8': PTQ-calibrate the generator (and, for the 128x64 FgBg
+        family, the ROI encoder) on the first test batch and return
+        self.params augmented with the quant tables under '_quant_gen' /
+        '_quant_enc' (plain pytrees of arrays — traced jit args)."""
+        cfg = self.cfg
+        if getattr(cfg, "inference_dtype", "bf16") != "int8":
+            return self.params
+        from ..models import quant as quant_mod
+        params = dict(self.params)
+        jb = {k: jnp.asarray(v) for k, v in first_batch.items()}
+        bbox, vis = select_parts(jb["part_bbox"], jb["part_vis"],
+                                 cfg.roi_part_num)
+        is_256 = cfg.img_H >= 256
+        if self.stage1.fg_bg and not is_256:
+            qe = quant_mod.QuantizedEncoder(
+                params["Encoder"], cfg.repeat_num, cfg.conv_hidden_num,
+                part_num=cfg.roi_part_num)
+            qe.calibrate([(jb["x"], jb["mask_r6"], bbox, vis)])
+            params["_quant_enc"] = qe.quant
+        embs = jax.jit(functools.partial(self._encode_app))(params, jb)
+        pose = render_pose_maps(jb["pose_rcv"], cfg.img_H, cfg.img_W,
+                                cfg.keypoint_num, radius=4, normalized=False)
+        gen_repeat = cfg.repeat_num - 1 if is_256 else cfg.repeat_num
+        qg = quant_mod.QuantizedGenerator(params["ID_AE"], gen_repeat,
+                                          cfg.conv_hidden_num)
+        qg.calibrate([embs], [pose])
+        params["_quant_gen"] = qg.quant
+        print(f"[*] {type(self).__name__}: int8 PTQ inference "
+              f"(calibrated on the first batch)", flush=True)
+        return params
 
     def _disc_score(self, params, g_raw):
         if "Discriminator" not in params:
@@ -215,11 +264,14 @@ class FullSamplingTester(_TesterBase):
                                          "pose_target", "G_pose", "mask",
                                          "mask_target"])
         rng = jax.random.PRNGKey(0)  # tf.set_random_seed(0), tester.py:372
+        first = next(loader)
+        params = self._inference_params(first)
+        batches = itertools.chain([first], loader)
         for i in range(n):
-            batch = next(loader)
+            batch = next(batches)
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
             rng, sub = jax.random.split(rng)
-            g, pose_maps, score = self.sample_step(self.params, jb, sub,
+            g, pose_maps, score = self.sample_step(params, jb, sub,
                                                    pose_source)
             arrays = {
                 "x": (np.asarray(batch["x"]) + 1) * 127.5,
@@ -332,11 +384,14 @@ class FactorSamplingTester(_TesterBase):
             f"SamplePose{cfg.sample_pose}_pretrain_{n}x{cfg.batch_size}")
         dirs = _save_dir_tree(out_root, ["x", "G", "pose"])
         rng = jax.random.PRNGKey(0)
+        first = next(loader)
+        params = self._inference_params(first)
+        batches = itertools.chain([first], loader)
         for i in range(n):
-            batch = next(loader)
+            batch = next(batches)
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
             rng, sub = jax.random.split(rng)
-            g, pose_maps, score = self.sample_step(self.params, jb, sub)
+            g, pose_maps, score = self.sample_step(params, jb, sub)
             _save_batch_pngs(dirs, {
                 "x": (np.asarray(batch["x"]) + 1) * 127.5,
                 "G": np.asarray(g),
@@ -372,10 +427,13 @@ class ConditionalTransferTester(_TesterBase):
         dirs = _save_dir_tree(out_root, ["x", "x_target", "G", "pose",
                                          "pose_target", "mask", "mask_target"])
         ssims = []
+        first = next(loader)
+        params = self._inference_params(first)
+        batches = itertools.chain([first], loader)
         for i in range(n):
-            batch = next(loader)
+            batch = next(batches)
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
-            g, pose_t, score = self.transfer_step(self.params, jb)
+            g, pose_t, score = self.transfer_step(params, jb)
             g = np.asarray(g)
             pose_s = render_pose_maps(jb["pose_rcv"], cfg.img_H, cfg.img_W,
                                       cfg.keypoint_num, radius=4,

@@ -99,6 +99,11 @@ class Config:
     process_id: int = -1                # -1 = auto (from env)
     remat: bool = False                 # rematerialize generator activations
     pose_raster: str = "xla"            # 'xla' closed form | 'pallas' kernel
+    # Inference numerics for the testers (models 11/12/13...): 'bf16'
+    # runs the flax modules; 'int8' runs the PTQ encoder+generator
+    # (models/quant.py), calibrated on the first test batch — the
+    # production serving path (~2.3x bf16 on the v5e, SSIM delta ~1e-4).
+    inference_dtype: str = "bf16"       # 'bf16' | 'int8'
     demo_img_dir: Optional[str] = None  # test_one_by_one inputs
     demo_pair_path: Optional[str] = None
     demo_all_peaks_path: Optional[str] = None

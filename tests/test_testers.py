@@ -137,3 +137,34 @@ def test_inversion_tool(tmp_path):
     zf, zb, loss = tool.invert(jb, jax.random.PRNGKey(0), steps=200)
     assert zf.shape == (cfg.batch_size, 7 * 32)
     assert float(loss) < float(loss0) * 0.5, (float(loss0), float(loss))
+
+
+def test_transfer_tester_int8(tmp_path):
+    """--inference_dtype=int8 runs the PTQ encoder+generator in the tester
+    and stays close to the bf16 output on the same weights."""
+    cfg = small_cfg(tmp_path)
+    t = testers.ConditionalTransferTester(cfg)
+    loader = SyntheticLoader(cfg.batch_size, cfg.img_H, cfg.img_W, seed=5)
+    batch = next(loader)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    g_bf, _, _ = t.transfer_step(t.params, jb)
+
+    cfg8 = small_cfg(tmp_path, inference_dtype="int8")
+    t8 = testers.ConditionalTransferTester(cfg8)
+    t8.params = t.params
+    params8 = t8._inference_params(batch)
+    assert "_quant_gen" in params8 and "_quant_enc" in params8
+    g_q, _, _ = t8.transfer_step(params8, jb)
+    a, b = np.asarray(g_bf), np.asarray(g_q)
+    assert np.isfinite(b).all()
+    # images are in [0,255]; PTQ on random weights stays within a few LSBs
+    assert np.abs(a - b).mean() < 8.0, np.abs(a - b).mean()
+
+
+def test_full_sampling_tester_int8(tmp_path):
+    cfg = small_cfg(tmp_path, sample_app=True, inference_dtype="int8")
+    t = testers.FullSamplingTester(cfg)
+    loader = SyntheticLoader(cfg.batch_size, cfg.img_H, cfg.img_W, seed=6)
+    out = t.run(loader, test_batch_num=2)
+    files = os.listdir(os.path.join(out, "G"))
+    assert len(files) == 2 * cfg.batch_size
