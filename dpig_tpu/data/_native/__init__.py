@@ -98,3 +98,52 @@ class MmapRecordFile:
     def __getitem__(self, i: int) -> bytes:
         o = int(self.offsets[i])
         return self._mm[o:o + int(self.lengths[i])].tobytes()
+
+
+def _bind_parse(lib: ctypes.CDLL) -> None:
+    if hasattr(lib, "_parse_bound"):
+        return
+    lib.tfr_parse.restype = ctypes.c_int64
+    lib.tfr_parse.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+    lib._parse_bound = True
+
+
+def parse_example_features(record: bytes, wanted):
+    """Single-pass native tf.Example parse.
+
+    wanted: list of (name, capacity) — capacity is the max numeric element
+    count to decode (0 for bytes features). Returns
+    {name: np.float32[count] | (bytes_offset, bytes_len) | None-if-absent},
+    or None when the native library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    _bind_parse(lib)
+    n = len(wanted)
+    names = b"\0".join(name.encode() for name, _ in wanted) + b"\0"
+    bufs = [np.zeros(max(cap, 1), np.float32) for _, cap in wanted]
+    fptrs = (ctypes.c_void_p * n)(
+        *[b.ctypes.data_as(ctypes.c_void_p) for b in bufs])
+    caps = (ctypes.c_int64 * n)(*[cap for _, cap in wanted])
+    counts = (ctypes.c_int64 * n)()
+    types = (ctypes.c_int32 * n)()
+    boffs = (ctypes.c_int64 * n)()
+    blens = (ctypes.c_int64 * n)()
+    rc = lib.tfr_parse(record, len(record), names, n, fptrs, caps, counts,
+                       types, boffs, blens)
+    if rc < 0:
+        raise IOError("malformed tf.Example record")
+    out = {}
+    for i, (name, cap) in enumerate(wanted):
+        if types[i] == 0:
+            out[name] = None
+        elif types[i] == 1:
+            out[name] = (int(boffs[i]), int(blens[i]))
+        else:
+            out[name] = bufs[i][:min(int(counts[i]), cap)]
+    return out

@@ -157,3 +157,23 @@ def test_pair_loader_worker_throughput(tmp_path, rng):
     par = measure(2)
     print(f"loader img/s: sequential={seq:.0f} workers2={par:.0f}")
     assert par > seq * 0.5
+
+
+def test_native_example_parser_matches_protobuf(tmp_path, rng, monkeypatch):
+    """The C++ single-pass wire parser must be bit-identical to the
+    protobuf path on every field, for both flavors and odd shapes."""
+    from dpig_tpu.data import loader as L
+    from dpig_tpu.data import _native
+    assert _native.get_lib() is not None, "native scanner failed to build"
+    for (h, w) in ((32, 16), (48, 24)):
+        for _ in range(5):
+            rec = make_example(rng, h, w)
+            got = L.parse_example(rec, h, w)
+            monkeypatch.setattr(L, "_parse_example_native",
+                                lambda *a, **k: None)
+            want = L.parse_example(rec, h, w)
+            monkeypatch.undo()
+            assert set(got) == set(want)
+            for k in want:
+                np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+                assert got[k].dtype == want[k].dtype, k
