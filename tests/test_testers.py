@@ -168,3 +168,22 @@ def test_full_sampling_tester_int8(tmp_path):
     out = t.run(loader, test_batch_num=2)
     files = os.listdir(os.path.join(out, "G"))
     assert len(files) == 2 * cfg.batch_size
+
+
+def test_factor_sampling_tester_int8_256(tmp_path):
+    """DF 256 family (models 1001/1002 dispatch to FactorSamplingTester's
+    single-Gaussian_FC branch): int8 generator; the encoder stays bf16
+    (QuantizedEncoder mirrors the FgBg Market encoder only)."""
+    cfg = Config(img_H=256, img_W=256, batch_size=2, conv_hidden_num=4,
+                 z_num=8, model_dir=str(tmp_path), sample_app=True,
+                 inference_dtype="int8")
+    t = testers.FactorSamplingTester(cfg)
+    loader = SyntheticLoader(cfg.batch_size, cfg.img_H, cfg.img_W, seed=7)
+    batch = next(loader)
+    params = t._inference_params(batch)
+    assert "_quant_gen" in params and "_quant_enc" not in params
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    import jax
+    g, pose, score = t.sample_step(params, jb, jax.random.PRNGKey(0))
+    assert g.shape == (2, 256, 256, 3)
+    assert np.isfinite(np.asarray(g)).all()
