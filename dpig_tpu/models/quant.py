@@ -115,7 +115,8 @@ def uae_forward(params, embs, pose, repeat_num: int, hidden_num: int,
                 quant: Optional[Dict] = None,
                 collect_stats: bool = False,
                 wino_layers: Optional[frozenset] = None,
-                calib_percentile: Optional[float] = None):
+                calib_percentile: Optional[float] = None,
+                chained: bool = True):
     """Layer-by-layer UAEGenerator forward on raw params.
 
     quant=None, collect_stats=False  -> float forward (== module apply).
@@ -128,7 +129,7 @@ def uae_forward(params, embs, pose, repeat_num: int, hidden_num: int,
                                         layers in 'wino' run the F(2x2,3x3)
                                         transform-domain path (ops/wino.py).
     """
-    if quant is not None and not quant.get("wino"):
+    if quant is not None and chained and not quant.get("wino"):
         return _uae_forward_int8(params, embs, pose, repeat_num, hidden_num,
                                  quant)
 

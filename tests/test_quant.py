@@ -139,3 +139,38 @@ def test_encoder_forward_matches_module_and_int8_close():
     err = np.abs(np.asarray(got8) - np.asarray(want)).mean()
     ref = np.abs(np.asarray(want)).mean() + 1e-9
     assert err / ref < 0.08, (err, ref)
+
+
+def test_chained_int8_matches_legacy_quant_path():
+    """The s8-chained forward must track the legacy per-layer quant path
+    closely — the ONLY numeric difference is that residual/skip/concat
+    reads see the once-quantized s8 tensors instead of their bf16
+    parents (PARITY.md deviation)."""
+    import jax
+    import jax.numpy as jnp
+    from dpig_tpu.models import quant as quant_mod
+    from dpig_tpu.models.generator import UAEGenerator
+    from flax import linen as nn
+
+    rng = jax.random.PRNGKey(3)
+    H, W, hid, rep, z = 32, 16, 16, 3, 16
+    gen = UAEGenerator(out_channels=3, z_num=z, repeat_num=rep,
+                       hidden_num=hid, activation=nn.relu,
+                       dtype=jnp.float32)
+    embs = jax.random.normal(rng, (4, 24)) * 0.3
+    pose = jax.random.uniform(jax.random.PRNGKey(4), (4, H, W, 18))
+    params = jax.jit(gen.init)(rng, None, pose, embs_const=embs)["params"]
+
+    q = quant_mod.QuantizedGenerator(params, rep, hid)
+    q.calibrate([embs], [pose])
+    out_chained, _ = quant_mod.uae_forward(params, embs, pose, rep, hid,
+                                           quant=q.quant)
+    out_legacy, _ = quant_mod.uae_forward(params, embs, pose, rep, hid,
+                                          quant=q.quant, chained=False)
+    a, b = np.asarray(out_chained), np.asarray(out_legacy)
+    denom = np.abs(b).mean() + 1e-9
+    assert np.abs(a - b).mean() / denom < 0.08, np.abs(a - b).mean() / denom
+    # and both track the float forward
+    out_f, _ = quant_mod.uae_forward(params, embs, pose, rep, hid)
+    corr = np.corrcoef(a.ravel(), np.asarray(out_f).ravel())[0, 1]
+    assert corr > 0.99, corr
