@@ -143,13 +143,15 @@ class Stage2AppApp:
         state = state.replace(step=state.step + 1)
         # hist/: embedding-distribution observability (reference
         # trainer.py:796-804 histogram summaries for app samplers).
-        fg_h, bg_h = self.sample_embs(state.g_params, rngs[1], b)
+        # Reuses the LAST critic iteration's fake samples — a fresh rng
+        # here would pay an extra mapper forward on every step that XLA
+        # cannot CSE away (the harness only reads hists at log steps).
         return state, {"g_loss_embs_fg": gl_fg, "g_loss_embs_bg": gl_bg,
                        "d_loss_embs_fg": dl_fg, "d_loss_embs_bg": dl_bg,
                        "hist/embs_real_fg": real_fg,
-                       "hist/embs_fake_fg": jax.lax.stop_gradient(fg_h),
+                       "hist/embs_fake_fg": fg_fake,
                        "hist/embs_real_bg": real_bg,
-                       "hist/embs_fake_bg": jax.lax.stop_gradient(bg_h)}
+                       "hist/embs_fake_bg": bg_fake}
 
     # ----------------------------------------------------------- sampling
     @functools.partial(jax.jit, static_argnums=0)

@@ -248,7 +248,7 @@ class FullSamplingTester(_TesterBase):
         pose_maps, rcv = self._pose_maps(params, batch, r_pose, pose_source)
         g_raw = self._generate(params, embs, pose_maps)
         score = self._disc_score(params, g_raw)
-        return jnp.clip((g_raw + 1) * 127.5, 0, 255), pose_maps, score
+        return jnp.clip((g_raw + 1) * 127.5, 0, 255), pose_maps, score, rcv
 
     def run(self, loader: Iterator, test_batch_num: Optional[int] = None,
             pose_source: str = "real") -> str:
@@ -271,8 +271,8 @@ class FullSamplingTester(_TesterBase):
             batch = next(batches)
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
             rng, sub = jax.random.split(rng)
-            g, pose_maps, score = self.sample_step(params, jb, sub,
-                                                   pose_source)
+            g, pose_maps, score, g_rcv = self.sample_step(params, jb, sub,
+                                                          pose_source)
             arrays = {
                 "x": (np.asarray(batch["x"]) + 1) * 127.5,
                 "pose": pose_to_gray(np.asarray(render_pose_maps(
@@ -294,10 +294,13 @@ class FullSamplingTester(_TesterBase):
                     np.asarray(batch["mask_r6_target"]) * 255.0
             _save_batch_pngs(dirs, arrays, i * cfg.batch_size)
             # pose_rcv dumps alongside the renderings (tester.py generate()
-            # keeps the coordinates; scoring/re-id tooling reads them back)
+            # keeps the coordinates; scoring/re-id tooling reads them
+            # back). These are the coordinates the G_pose renderings were
+            # actually built from — the AE-decoded/sampled rcv, not the
+            # input batch's.
             if i < 4:
                 np.save(os.path.join(dirs["G_pose"], f"pose_rcv_{i:04d}.npy"),
-                        np.asarray(jb["pose_rcv"]))
+                        np.asarray(g_rcv))
             # G filenames carry the discriminator score (tester.py:185)
             g_np = np.asarray(g)
             s_np = np.asarray(score)

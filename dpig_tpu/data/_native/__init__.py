@@ -144,6 +144,12 @@ def parse_example_features(record: bytes, wanted):
             out[name] = None
         elif types[i] == 1:
             out[name] = (int(boffs[i]), int(blens[i]))
+        elif counts[i] > cap:
+            # Oversized feature: the C side only decoded the first `cap`
+            # elements. Return the TRUE element count (an int, not an
+            # array) so callers can fail loudly instead of consuming a
+            # silently truncated value.
+            out[name] = int(counts[i])
         else:
-            out[name] = bufs[i][:min(int(counts[i]), cap)]
+            out[name] = bufs[i][:int(counts[i])]
     return out

@@ -180,7 +180,9 @@ struct Cursor {
     switch (wt) {
       case 0: Varint(); break;
       case 1: p += 8; break;
-      case 2: { uint64_t n = Varint(); p += n; break; }
+      case 2: { uint64_t n = Varint();
+                if (n > static_cast<uint64_t>(end - p)) { ok = false; return; }
+                p += n; break; }
       case 5: p += 4; break;
       default: ok = false;
     }
@@ -201,7 +203,7 @@ void ParseFeature(const uint8_t* base, Cursor c, float* out, int64_t cap,
     if (!c.ok) return;
     if (wt != 2) { c.Skip(wt); continue; }
     uint64_t n = c.Varint();
-    if (!c.ok || c.p + n > c.end) return;
+    if (!c.ok || n > static_cast<uint64_t>(c.end - c.p)) return;
     Cursor list{c.p, c.p + n};
     c.p += n;
     if (field == 1) {  // BytesList
@@ -210,7 +212,7 @@ void ParseFeature(const uint8_t* base, Cursor c, float* out, int64_t cap,
       while (uint32_t lf = list.Tag(&lwt)) {
         if (lf == 1 && lwt == 2) {
           uint64_t bn = list.Varint();
-          if (!list.ok || list.p + bn > list.end) return;
+          if (!list.ok || bn > static_cast<uint64_t>(list.end - list.p)) return;
           if (*count == 0) {  // first element only (schema stores one)
             *boff = list.p - base;
             *blen = static_cast<int64_t>(bn);
@@ -229,7 +231,7 @@ void ParseFeature(const uint8_t* base, Cursor c, float* out, int64_t cap,
         if (lf != 1) { list.Skip(lwt); continue; }
         if (lwt == 2) {  // packed
           uint64_t bn = list.Varint();
-          if (!list.ok || list.p + bn > list.end) return;
+          if (!list.ok || bn > static_cast<uint64_t>(list.end - list.p)) return;
           int64_t m = static_cast<int64_t>(bn / 4);
           for (int64_t i = 0; i < m; ++i) {
             float f;
@@ -240,7 +242,7 @@ void ParseFeature(const uint8_t* base, Cursor c, float* out, int64_t cap,
           list.p += bn;
         } else if (lwt == 5) {  // unpacked
           float f;
-          if (list.p + 4 > list.end) return;
+          if (4 > list.end - list.p) return;
           memcpy(&f, list.p, 4);
           list.p += 4;
           if (out && *count < cap) out[*count] = f;
@@ -257,7 +259,7 @@ void ParseFeature(const uint8_t* base, Cursor c, float* out, int64_t cap,
         if (lf != 1) { list.Skip(lwt); continue; }
         if (lwt == 2) {  // packed varints
           uint64_t bn = list.Varint();
-          if (!list.ok || list.p + bn > list.end) return;
+          if (!list.ok || bn > static_cast<uint64_t>(list.end - list.p)) return;
           Cursor packed{list.p, list.p + bn};
           list.p += bn;
           while (packed.p < packed.end) {
@@ -318,7 +320,7 @@ int64_t tfr_parse(const uint8_t* rec, int64_t len, const char* names,
     if (!ex.ok) return -1;
     if (field != 1 || wt != 2) { ex.Skip(wt); continue; }
     uint64_t flen = ex.Varint();
-    if (!ex.ok || ex.p + flen > ex.end) return -1;
+    if (!ex.ok || flen > static_cast<uint64_t>(ex.end - ex.p)) return -1;
     Cursor feats{ex.p, ex.p + flen};
     ex.p += flen;
     uint32_t fwt;
@@ -326,7 +328,7 @@ int64_t tfr_parse(const uint8_t* rec, int64_t len, const char* names,
       if (!feats.ok) return -1;
       if (ffield != 1 || fwt != 2) { feats.Skip(fwt); continue; }
       uint64_t elen = feats.Varint();
-      if (!feats.ok || feats.p + elen > feats.end) return -1;
+      if (!feats.ok || elen > static_cast<uint64_t>(feats.end - feats.p)) return -1;
       Cursor entry{feats.p, feats.p + elen};
       feats.p += elen;
       // map entry: key (1), value (2)
@@ -339,7 +341,7 @@ int64_t tfr_parse(const uint8_t* rec, int64_t len, const char* names,
         if (!entry.ok) return -1;
         if (ewt != 2) { entry.Skip(ewt); continue; }
         uint64_t n = entry.Varint();
-        if (!entry.ok || entry.p + n > entry.end) return -1;
+        if (!entry.ok || n > static_cast<uint64_t>(entry.end - entry.p)) return -1;
         if (ef == 1) { key_p = entry.p; key_n = n; }
         if (ef == 2) { val_p = entry.p; val_n = n; }
         entry.p += n;

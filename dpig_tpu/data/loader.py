@@ -116,15 +116,18 @@ def _parse_example_native(record: bytes, img_h: int, img_w: int,
                          .convert("RGB"), np.float32)
         out[f"x{tag}"] = img / 127.5 - 1.0
         rcv = feats[f"pose_peaks{suffix}_rcv"]
-        if rcv is None or rcv.size != keypoint_num * 3:
-            return None
+        if not isinstance(rcv, np.ndarray) or rcv.size != keypoint_num * 3:
+            return None  # absent/oversized: let the protobuf path report
         out[f"pose_rcv{tag}"] = rcv.reshape(keypoint_num, 3)
         for store, key in (("mask_r6", mask_a), ("mask_r4", mask_b)):
             vals = feats[f"{key}{suffix}"]
-            if vals is None or vals.size != px:
+            # an int means the feature exceeded the expected capacity (the
+            # native parser reports the TRUE count instead of truncating)
+            n_vals = (0 if vals is None else
+                      vals if isinstance(vals, int) else vals.size)
+            if not isinstance(vals, np.ndarray) or vals.size != px:
                 raise KeyError(
-                    f"feature {key}{suffix} has "
-                    f"{0 if vals is None else vals.size} values, expected "
+                    f"feature {key}{suffix} has {n_vals} values, expected "
                     f"{img_h}x{img_w} — wrong dataset flavor? (Market stores "
                     "pose_mask_r4/r6, DF stores pose_mask_r4/r8; the flavor "
                     "is chosen by whether 'market' is in the dataset name, "
@@ -132,7 +135,9 @@ def _parse_example_native(record: bytes, img_h: int, img_w: int,
             out[f"{store}{tag}"] = vals.reshape(img_h, img_w, 1)
         bbox = feats[f"part_bbox{suffix}"]
         vis = feats[f"part_vis{suffix}"]
-        if bbox is None or vis is None:
+        if (not isinstance(bbox, np.ndarray) or bbox.size != part_num * 4
+                or not isinstance(vis, np.ndarray)
+                or vis.size != part_num):
             return None
         out[f"part_bbox{tag}"] = bbox.astype(np.int32).reshape(part_num, 4)
         out[f"part_vis{tag}"] = vis.astype(np.int32)
@@ -150,13 +155,19 @@ def iter_records(shards: List[str], repeat: bool = False) -> Iterator[bytes]:
 def iter_examples(shards: List[str], img_h: int, img_w: int,
                   mask_keys: Dict[str, str], part_num: int = 37,
                   repeat: bool = False,
-                  num_workers: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+                  num_workers: int = 0, stride: int = 1,
+                  offset: int = 0) -> Iterator[Dict[str, np.ndarray]]:
     """Parsed-sample stream. num_workers > 0 parses/decodes on a thread
     pool with an ordered in-flight window, so the output ORDER is identical
     to the sequential path for any worker count (the reference pins test
     readers to 1 thread for order, trainer.py:108-110 — here order is
-    deterministic even with workers)."""
+    deterministic even with workers). stride/offset select every
+    `stride`-th record starting at `offset` (multi-host round-robin when
+    there are fewer shards than hosts)."""
     records = iter_records(shards, repeat)
+    if stride > 1:
+        records = (r for i, r in enumerate(records)
+                   if i % stride == offset)
 
     def parse(rec):
         return parse_example(rec, img_h, img_w, part_num=part_num,
@@ -209,20 +220,31 @@ class TFRecordPairLoader:
                 f"no *{split}*.tfrecord shards in {dataset_dir}")
         # Multi-host: each host reads a disjoint shard subset (pass
         # host_id=jax.process_index(), host_count=jax.process_count()).
+        self._record_stride = 1
+        self._record_offset = 0
         if host_count > 1:
             if len(shards) >= host_count:
                 shards = shards[host_id::host_count]
             else:
-                # fewer shards than hosts: offset the shuffle stream instead
+                # Fewer shards than hosts: every host must still see a
+                # DISJOINT record stream (a reseeded shuffle only
+                # decorrelates orders; with shuffle=False it would feed
+                # every host identical records and silently duplicate the
+                # global batch). Round-robin records by host instead.
+                self._record_stride = host_count
+                self._record_offset = host_id
                 self._rng = random.Random(seed * host_count + host_id)
         self.shards = shards
         self.num_samples = self._load_pair_count(split)
         self._it = iter_examples(shards, img_h, img_w, self.mask_keys,
-                                 repeat=shuffle, num_workers=num_workers)
+                                 repeat=shuffle, num_workers=num_workers,
+                                 stride=self._record_stride,
+                                 offset=self._record_offset)
         # Batch prefetch: a daemon thread keeps `prefetch_batches` assembled
         # batches ahead so host decode overlaps device compute (the
         # reference's tf.train.batch queue runners, trainer.py:553-555).
         self._queue: Optional[queue.Queue] = None
+        self._terminal = None  # sticky _END / producer exception
         if num_workers > 0 and prefetch_batches > 0:
             self._queue = queue.Queue(maxsize=prefetch_batches)
             self._thread = threading.Thread(target=self._producer,
@@ -272,9 +294,16 @@ class TFRecordPairLoader:
     def __next__(self) -> Dict[str, np.ndarray]:
         if self._queue is None:
             return self._assemble_batch()
+        # The producer puts its _END/exception sentinel exactly once and
+        # exits; remember it so every LATER call re-raises instead of
+        # blocking forever on an empty queue.
+        if self._terminal is not None:
+            raise (StopIteration() if self._terminal is self._END
+                   else self._terminal)
         item = self._queue.get()
-        if item is self._END:
-            raise StopIteration
-        if isinstance(item, Exception):
+        if item is self._END or isinstance(item, Exception):
+            self._terminal = item
+            if item is self._END:
+                raise StopIteration
             raise item
         return item

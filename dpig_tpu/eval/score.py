@@ -106,9 +106,12 @@ def main() -> None:
     a = ap.parse_args()
     if a.stage == 2:
         score_stage2(a.model_dir, a.test_dir, inception_pb=a.inception_pb)
-    else:
+    elif a.stage == 1:
         score_stage1(a.model_dir, a.test_dir, masked=a.mask,
                      inception_pb=a.inception_pb)
+    else:
+        raise SystemExit(f"unknown stage {a.stage} (expected 1 or 2, "
+                         "matching the reference score.py CLI)")
 
 
 if __name__ == "__main__":

@@ -129,7 +129,8 @@ def uae_forward(params, embs, pose, repeat_num: int, hidden_num: int,
                                         layers in 'wino' run the F(2x2,3x3)
                                         transform-domain path (ops/wino.py).
     """
-    if quant is not None and chained and not quant.get("wino"):
+    if (quant is not None and chained and not collect_stats
+            and not quant.get("wino")):
         return _uae_forward_int8(params, embs, pose, repeat_num, hidden_num,
                                  quant)
 
@@ -460,7 +461,7 @@ def _tower(conv_apply, tree, x, repeat_num, prefix):
 
 
 def roi_fgbg_forward(params, x, fg_mask, part_bbox, part_vis,
-                     repeat_num: int, hidden_num: int, z_num: int = 32,
+                     repeat_num: int, hidden_num: int,
                      part_num: int = 7, roi_size: int = 48,
                      quant: Optional[Dict] = None,
                      collect_stats: bool = False):
@@ -539,14 +540,13 @@ def quantize_encoder_weights(params, repeat_num: int) -> Dict:
         w8 = np.clip(np.round(k / scale), -127, 127).astype(np.int8)
         return jnp.asarray(w8), jnp.asarray(scale.astype(np.float32))
 
-    for i in range(3):
+    # stem/Conv_0 (3->hidden) is tiny and int8 gains nothing: keep f32
+    for i in range(1, 3):
         weights[f"stem/Conv_{i}"] = q(params["_Stem_0"][f"Conv_{i}"]["kernel"])
     for _, name in enc_layer_names(repeat_num):
         weights[f"fg/{name}"] = q(
             params["fg_tower"]["ConvBlockTower_0"][name]["kernel"])
         weights[f"bg/{name}"] = q(params["bg_tower"][name]["kernel"])
-    # the 3->hidden stem conv is tiny and int8 gains nothing: keep f32
-    del weights["stem/Conv_0"]
     return weights
 
 

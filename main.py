@@ -22,6 +22,11 @@ def make_loader(cfg: Config):
     # Per-host loader: under multi-host each process reads a disjoint
     # shard subset and a per-host slice of the global batch.
     host_id, host_count = jax.process_index(), jax.process_count()
+    if cfg.batch_size % host_count:
+        raise ValueError(
+            f"--batch_size={cfg.batch_size} must be divisible by the "
+            f"process count ({host_count}): a truncated per-host batch "
+            "would silently shrink the global batch and break sharding")
     local_bs = cfg.batch_size // host_count
     if cfg.synthetic_data:
         return SyntheticLoader(local_bs, cfg.img_H, cfg.img_W,

@@ -177,3 +177,49 @@ def test_native_example_parser_matches_protobuf(tmp_path, rng, monkeypatch):
             for k in want:
                 np.testing.assert_array_equal(got[k], want[k], err_msg=k)
                 assert got[k].dtype == want[k].dtype, k
+
+
+def test_multihost_few_shards_round_robin(tmp_path, rng):
+    """With fewer shards than hosts and shuffle=False, hosts must see
+    DISJOINT record streams (round-robin), not identical copies."""
+    from dpig_tpu.data.loader import TFRecordPairLoader
+    h, w = 32, 16
+    path = str(tmp_path / "Market1501_train_00000.tfrecord")
+    with tfrecord.TFRecordWriter(path) as wr:
+        for _ in range(8):
+            wr.write(make_example(rng, h, w))
+    batches = []
+    for hid in range(2):
+        loader = TFRecordPairLoader(str(tmp_path), "train", batch_size=4,
+                                    img_h=h, img_w=w, dataset="market",
+                                    shuffle=False, host_id=hid, host_count=2)
+        batches.append(next(loader))
+    assert not np.allclose(batches[0]["x"], batches[1]["x"])
+    # together the two hosts cover all 8 records exactly once
+    loader_all = TFRecordPairLoader(str(tmp_path), "train", batch_size=8,
+                                    img_h=h, img_w=w, dataset="market",
+                                    shuffle=False)
+    full = next(loader_all)["x"]
+    got = np.concatenate([batches[0]["x"], batches[1]["x"]])
+    assert np.allclose(np.sort(got.reshape(8, -1), axis=0),
+                       np.sort(full.reshape(8, -1), axis=0))
+
+
+def test_prefetch_queue_sticky_stop(tmp_path, rng):
+    """After the producer's StopIteration sentinel, every further next()
+    must re-raise StopIteration instead of hanging on the empty queue."""
+    from dpig_tpu.data.loader import TFRecordPairLoader
+    h, w = 32, 16
+    path = str(tmp_path / "Market1501_test_00000.tfrecord")
+    with tfrecord.TFRecordWriter(path) as wr:
+        for _ in range(4):
+            wr.write(make_example(rng, h, w))
+    loader = TFRecordPairLoader(str(tmp_path), "test", batch_size=4,
+                                img_h=h, img_w=w, dataset="market",
+                                shuffle=False, num_workers=1,
+                                prefetch_batches=2)
+    assert next(loader)["x"].shape == (4, h, w, 3)
+    import pytest
+    for _ in range(3):  # repeated calls after exhaustion must NOT hang
+        with pytest.raises(StopIteration):
+            next(loader)

@@ -128,7 +128,7 @@ def test_encoder_forward_matches_module_and_int8_close():
 
     want = enc.apply({"params": params}, x, mask, bbox, vis)
     got = q.roi_fgbg_forward(params, x, mask, bbox, vis, repeat, hidden,
-                             z_num=z, part_num=parts, roi_size=roi)
+                             part_num=parts, roi_size=roi)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
 

@@ -33,7 +33,8 @@ def test_full_sampling_pose_sources(tmp_path):
     jb = {k: jnp.asarray(v) for k, v in batch.items()}
     import jax
     for src in ("real", "reconstructed", "sampled"):
-        g, pose, score = t.sample_step(t.params, jb, jax.random.PRNGKey(0), src)
+        g, pose, score, g_rcv = t.sample_step(t.params, jb,
+                                              jax.random.PRNGKey(0), src)
         assert g.shape == (cfg.batch_size, cfg.img_H, cfg.img_W, 3)
         assert np.isfinite(np.asarray(score)).all()
 
