@@ -174,3 +174,40 @@ def test_chained_int8_matches_legacy_quant_path():
     out_f, _ = quant_mod.uae_forward(params, embs, pose, rep, hid)
     corr = np.corrcoef(a.ravel(), np.asarray(out_f).ravel())[0, 1]
     assert corr > 0.99, corr
+
+
+def test_chained_int8_sharded_over_mesh():
+    """int8 generation data-parallel over the 8-device CPU mesh: shard the
+    batch, replicate params + quant tables, match the single-device out."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from dpig_tpu.models import quant as quant_mod
+    from dpig_tpu.models.generator import UAEGenerator
+    from dpig_tpu.parallel.mesh import make_mesh
+
+    H, W, hid, rep, z = 32, 16, 16, 3, 16
+    gen = UAEGenerator(out_channels=3, z_num=z, repeat_num=rep,
+                       hidden_num=hid, activation=nn.relu,
+                       dtype=jnp.float32)
+    rng = jax.random.PRNGKey(5)
+    embs = jax.random.normal(rng, (8, 24)) * 0.3
+    pose = jax.random.uniform(jax.random.PRNGKey(6), (8, H, W, 18))
+    params = jax.jit(gen.init)(rng, None, pose, embs_const=embs)["params"]
+    q = quant_mod.QuantizedGenerator(params, rep, hid)
+    q.calibrate([embs], [pose])
+
+    fwd = jax.jit(lambda p, qt, e, m: quant_mod.uae_forward(
+        p, e, m, rep, hid, quant=qt)[0])
+    ref = np.asarray(fwd(params, q.quant, embs, pose))
+
+    mesh = make_mesh()
+    shard = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    embs_s = jax.device_put(embs, shard)
+    pose_s = jax.device_put(pose, shard)
+    params_r = jax.device_put(params, repl)
+    quant_r = jax.device_put(q.quant, repl)
+    out = np.asarray(fwd(params_r, quant_r, embs_s, pose_s))
+    np.testing.assert_allclose(out, ref, atol=2e-2)
