@@ -285,3 +285,57 @@ def import_checkpoint(ckpt_path: str, template_params: Dict[str, Any],
             out[target] = import_scope(var_dict, scope, kind,
                                        template_params[target])
     return out
+
+
+def main(argv=None) -> None:
+    """CLI: convert a published reference TF1 checkpoint to an orbax
+    checkpoint consumable by the --pretrained_* flags.
+
+        python -m dpig_tpu.train.tf1_import --ckpt_path=<tf1 ckpt prefix> \
+            --model_dir=<out dir> [--img_H=128 --img_W=64 ...]
+
+    Builds fresh template params for every subnet at the given geometry,
+    imports all reference scopes present in the checkpoint (plus the
+    tflib flat-name Discriminator), and writes `<model_dir>/ckpt/step0`.
+    Scopes absent from the checkpoint keep their (random) template values
+    and are listed loudly.
+    """
+    from ..config import get_config
+    cfg = get_config(argv)
+    assert cfg.ckpt_path, "--ckpt_path=<tf1 checkpoint prefix> required"
+    assert cfg.model_dir, "--model_dir=<output dir> required"
+    from ..apps import testers as _testers
+
+    class _AllNets(_testers.FullSamplingTester):
+        def _restore_params(self):  # template only — never restore
+            return self._fresh_params()
+
+    template = _AllNets(cfg).params
+    imported = import_checkpoint(cfg.ckpt_path, template,
+                                 img_h=cfg.img_H, img_w=cfg.img_W)
+    missing = sorted(set(template) - set(imported))
+    if missing:
+        print(f"[!] scopes not found in {cfg.ckpt_path}: {missing} "
+              "(kept as random init)")
+    d_params = {}
+    d_stats = {}
+    if "Discriminator" in imported:
+        d_params["Discriminator"] = imported.pop("Discriminator")
+        d_stats = imported.pop("Discriminator_stats", {})
+    g_params = {**{k: v for k, v in template.items()
+                   if k not in ("Discriminator", "Discriminator_stats")},
+                **imported}
+
+    from . import checkpoint as ckpt
+    import types
+    state = types.SimpleNamespace(step=0, g_params=g_params,
+                                  d_params=d_params or None,
+                                  g_opt_state=None, d_opt_state=None,
+                                  d_stats=d_stats or None,
+                                  frozen_params=None)
+    path = ckpt.save_checkpoint(cfg.model_dir, 0, state)
+    print(f"[*] imported {sorted(imported)} -> {path}")
+
+
+if __name__ == "__main__":
+    main()

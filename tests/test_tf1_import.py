@@ -135,3 +135,36 @@ def test_encoder_stream_orders_resolve():
     for path in order2:
         t1._leaf_kernel_bias(p2, path)
     assert order2[-1] == "_RoiTower_0/Dense_0"
+
+
+def test_tf1_import_cli_plumbing(tmp_path, capsys):
+    """python -m dpig_tpu.train.tf1_import on a checkpoint with no known
+    scopes: completes, warns, and writes an orbax ckpt that restore_tree
+    can read back with every subnet present (random template values)."""
+    import tensorflow.compat.v1 as tf1
+    tf1.disable_eager_execution()
+    g = tf1.Graph()
+    with g.as_default():
+        tf1.get_variable("unrelated/var", [3],
+                         initializer=tf1.zeros_initializer())
+        saver = tf1.train.Saver()
+        with tf1.Session() as sess:
+            sess.run(tf1.global_variables_initializer())
+            ckpt_path = str(tmp_path / "model.ckpt")
+            saver.save(sess, ckpt_path)
+
+    from dpig_tpu.train import tf1_import
+    out_dir = str(tmp_path / "out")
+    tf1_import.main([
+        f"--ckpt_path={ckpt_path}", f"--model_dir={out_dir}",
+        "--img_H=32", "--img_W=16", "--conv_hidden_num=16", "--z_num=16"])
+    msg = capsys.readouterr().out
+    assert "scopes not found" in msg
+
+    from dpig_tpu.train import checkpoint as ckpt
+    path = ckpt.latest_checkpoint(out_dir)
+    assert path is not None
+    tree = ckpt.restore_tree(path)
+    for sub in ("Encoder", "ID_AE", "PoseAE", "PoseGaussian",
+                "Gaussian_FC_Fg", "Gaussian_FC_Bg"):
+        assert sub in tree["g_params"], sub
