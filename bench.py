@@ -94,14 +94,15 @@ def main() -> None:
             bg = mapper_bg.apply({"params": mb},
                                  sample_mapper_noise(rb, batch_size, bg_dim))
             embs = jnp.concatenate([fg, bg], -1)
+            from dpig_tpu.models import quant as quant_mod
             if quant_tables is not None:
-                from dpig_tpu.models import quant as quant_mod
                 g_raw, _ = quant_mod.uae_forward(
                     gen_params, embs, pose, cfg.repeat_num,
                     cfg.conv_hidden_num, quant=quant_tables)
             else:
-                g_raw, _ = app.generator.apply(
-                    {"params": gen_params}, None, pose, embs_const=embs)
+                g_raw, _ = quant_mod.uae_forward_bf16(
+                    gen_params, embs, pose, cfg.repeat_num,
+                    cfg.conv_hidden_num)
             return jnp.clip((g_raw.astype(jnp.float32) + 1.0) * 127.5,
                             0.0, 255.0).astype(jnp.uint8)
 

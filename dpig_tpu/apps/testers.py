@@ -120,13 +120,22 @@ class _TesterBase:
                                    batch["mask_r6"], bbox, vis)
 
     def _generate(self, params, embs, pose_maps):
+        from ..models import quant as quant_mod
+        gen_repeat = (self.cfg.repeat_num - 1 if self.cfg.img_H >= 256
+                      else self.cfg.repeat_num)
         if "_quant_gen" in params:
-            from ..models import quant as quant_mod
-            gen_repeat = (self.cfg.repeat_num - 1 if self.cfg.img_H >= 256
-                          else self.cfg.repeat_num)
             g_raw, _ = quant_mod.uae_forward(
                 params["ID_AE"], embs, pose_maps, gen_repeat,
                 self.cfg.conv_hidden_num, quant=params["_quant_gen"])
+            return g_raw.astype(jnp.float32)
+        if self.stage1.dtype == jnp.bfloat16:
+            # layout-pinned bf16 raw-param forward: same math as the flax
+            # module (exactly — layout pins don't change arithmetic, and
+            # the 1x1/NN-upsample commute is bitwise), ~20% faster on the
+            # v5e (quant.uae_forward_bf16 docstring)
+            g_raw, _ = quant_mod.uae_forward_bf16(
+                params["ID_AE"], embs, pose_maps, gen_repeat,
+                self.cfg.conv_hidden_num)
             return g_raw.astype(jnp.float32)
         g_raw, _ = self.stage1.generator.apply(
             {"params": params["ID_AE"]}, None, pose_maps,

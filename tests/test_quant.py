@@ -211,3 +211,32 @@ def test_chained_int8_sharded_over_mesh():
     quant_r = jax.device_put(q.quant, repl)
     out = np.asarray(fwd(params_r, quant_r, embs_s, pose_s))
     np.testing.assert_allclose(out, ref, atol=2e-2)
+
+
+def test_bf16_raw_forward_matches_module():
+    """uae_forward_bf16 (layout-pinned raw-param path, the testers' bf16
+    default) must match the flax module at dtype=bf16."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+    from dpig_tpu.models import quant as quant_mod
+    from dpig_tpu.models.generator import UAEGenerator
+
+    H, W, hid, rep, z = 32, 16, 16, 3, 16
+    gen = UAEGenerator(out_channels=3, z_num=z, repeat_num=rep,
+                       hidden_num=hid, activation=nn.relu,
+                       dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(11)
+    embs = jax.random.normal(rng, (4, 24)) * 0.3
+    pose = jax.random.uniform(jax.random.PRNGKey(12), (4, H, W, 18))
+    params = jax.jit(gen.init)(rng, None, pose, embs_const=embs)["params"]
+
+    want, want_z = jax.jit(lambda p: gen.apply(
+        {"params": p}, None, pose, embs_const=embs))(params)
+    got, got_z = jax.jit(lambda p: quant_mod.uae_forward_bf16(
+        p, embs, pose, rep, hid))(params)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(want, np.float32),
+                               atol=2e-2, rtol=0)
+    np.testing.assert_allclose(np.asarray(got_z, np.float32),
+                               np.asarray(want_z, np.float32), atol=2e-2)
