@@ -184,8 +184,9 @@ def bench_transfer(batch_size: int, n_iters: int, dtype: str) -> None:
                     cfg.conv_hidden_num, quant=gen_quant)
             else:
                 embs = app._encode(enc_params, x, mask, bbox, vis)
-                g_raw, _ = app.generator.apply(
-                    {"params": gen_params}, None, pose_t, embs_const=embs)
+                g_raw, _ = quant_mod.uae_forward_bf16(
+                    gen_params, embs, pose_t, cfg.repeat_num,
+                    cfg.conv_hidden_num)
             # feed the generated image back as the next source
             return jnp.clip(g_raw.astype(jnp.float32), -1.0, 1.0)
 
