@@ -5,8 +5,9 @@ Measures the model-11 sampling path (Gaussian mappers -> pose rasterizer
 -> U-net generator -> uint8 images) on one chip, using the int8
 post-training-quantized generator (models/quant.py; measured 2.3% mean
 relative error / 0.9996 correlation vs the bf16 path — calibration runs
-outside the timed region). `python bench.py B N bf16` measures the bf16
-path instead.
+outside the timed region). The pose rasterizer runs INSIDE the timed
+loop (a fresh render per iteration, as the model-11 server does).
+`python bench.py B N bf16` measures the bf16 path instead.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -79,16 +80,23 @@ def main() -> None:
     # constant-embedded weights exceed remote-compile payload limits.
     @jax.jit
     def gen_chain(gen_params, quant_tables, mf, mb, pose_rcv, rng, n):
-        pose = render_pose_maps(pose_rcv, cfg.img_H, cfg.img_W,
-                                cfg.keypoint_num, radius=4, normalized=False)
-
         def body(i, carry):
             # chain through ONE pixel of the previous uint8 images so the
             # lazy backend cannot elide or reorder iterations, without a
             # full-tensor feedback pass
-            r = jax.random.fold_in(rng, i + carry[0, 0, 0, 0].astype(
-                jnp.int32))
+            feedback = carry[0, 0, 0, 0].astype(jnp.int32)
+            r = jax.random.fold_in(rng, i + feedback)
             rf, rb = jax.random.split(r)
+            # pose rasterization is part of the serving path (model 11
+            # renders the batch's pose coordinates every step), so it runs
+            # INSIDE the timed loop; the sub-pixel jitter depends on the
+            # previous iteration's output so loop-invariant code motion
+            # cannot hoist it (CLAUDE.md pitfall).
+            jitter = (feedback.astype(jnp.float32) % 2.0) * 1e-3
+            rcv = pose_rcv.at[..., :2].add(jitter)  # coords only, not vis
+            pose = render_pose_maps(rcv, cfg.img_H, cfg.img_W,
+                                    cfg.keypoint_num, radius=4,
+                                    normalized=False)
             fg = mapper_fg.apply({"params": mf},
                                  sample_mapper_noise(rf, batch_size, fg_dim))
             bg = mapper_bg.apply({"params": mb},

@@ -170,11 +170,28 @@ class _TesterBase:
         gen_repeat = cfg.repeat_num - 1 if is_256 else cfg.repeat_num
         qg = quant_mod.QuantizedGenerator(params["ID_AE"], gen_repeat,
                                           cfg.conv_hidden_num)
-        qg.calibrate([embs], [pose])
+        # When this tester will feed Gaussian-mapper-SAMPLED embeddings
+        # (sample_app/sample_fg/sample_bg), calibrate on a sampled batch
+        # too: sampled embeddings can exceed the encoder-derived absmax
+        # and would otherwise be clipped to the int8 range.
+        calib_embs, calib_pose = [embs], [pose]
+        sampled = self._sampled_calib_embs(
+            params, int(jb["x"].shape[0]),
+            jax.random.PRNGKey(cfg.random_seed))
+        if sampled is not None:
+            calib_embs.append(sampled)
+            calib_pose.append(pose)
+        qg.calibrate(calib_embs, calib_pose)
         params["_quant_gen"] = qg.quant
         print(f"[*] {type(self).__name__}: int8 PTQ inference "
               f"(calibrated on the first batch)", flush=True)
         return params
+
+    def _sampled_calib_embs(self, params, b: int, rng):
+        """Optional extra int8-calibration batch: mapper-sampled app
+        embeddings, when this tester can feed them at inference (overridden
+        by the sampling testers). None = encoder-only calibration."""
+        return None
 
     def _disc_score(self, params, g_raw):
         if "Discriminator" not in params:
@@ -228,6 +245,18 @@ class FullSamplingTester(_TesterBase):
         self.mapper_fg = GaussianMapper(out_dim=self.fg_dim, hidden_num=512)
         self.mapper_bg = GaussianMapper(out_dim=cfg.roi_z_num * 4,
                                         hidden_num=256)
+
+    def _sampled_calib_embs(self, params, b, rng):
+        if not (self.cfg.sample_app or self.cfg.one_app_per_batch):
+            return None
+        r_fg, r_bg = jax.random.split(rng)
+        fg = self.mapper_fg.apply(
+            {"params": params["Gaussian_FC_Fg"]},
+            sample_mapper_noise(r_fg, b, self.fg_dim))
+        bg = self.mapper_bg.apply(
+            {"params": params["Gaussian_FC_Bg"]},
+            sample_mapper_noise(r_bg, b, self.cfg.roi_z_num * 4))
+        return jnp.concatenate([fg, bg], -1)
 
     @functools.partial(jax.jit, static_argnums=(0, 4))
     def sample_step(self, params, batch, rng, pose_source: str = "real"):
@@ -341,6 +370,23 @@ class FactorSamplingTester(_TesterBase):
         self.mapper_fg = GaussianMapper(out_dim=self.fg_dim, hidden_num=512)
         self.mapper_bg = GaussianMapper(out_dim=cfg.roi_z_num * 4,
                                         hidden_num=256)
+
+    def _sampled_calib_embs(self, params, b, rng):
+        cfg = self.cfg
+        if not (cfg.sample_fg or cfg.sample_bg or cfg.sample_app):
+            return None
+        r_fg, r_bg = jax.random.split(rng)
+        if self.is_256:
+            return self.mapper_fg.apply(
+                {"params": params["Gaussian_FC"]},
+                sample_mapper_noise(r_fg, b, self.fg_dim))
+        fg = self.mapper_fg.apply(
+            {"params": params["Gaussian_FC_Fg"]},
+            sample_mapper_noise(r_fg, b, self.fg_dim))
+        bg = self.mapper_bg.apply(
+            {"params": params["Gaussian_FC_Bg"]},
+            sample_mapper_noise(r_bg, b, cfg.roi_z_num * 4))
+        return jnp.concatenate([fg, bg], -1)
 
     @functools.partial(jax.jit, static_argnums=0)
     def sample_step(self, params, batch, rng):

@@ -104,6 +104,12 @@ class Config:
     # (models/quant.py), calibrated on the first test batch — the
     # production serving path (~2.3x bf16 on the v5e, SSIM delta ~1e-4).
     inference_dtype: str = "bf16"       # 'bf16' | 'int8'
+    # Model-11 pose selection override. '' derives from --sample_pose:
+    # False -> 'real', True -> 'reconstructed' (the reference quirk:
+    # tester.py:93-95/341-343 decodes the AE embedding of the real pose,
+    # never the Gaussian sample). 'sampled' decodes PoseGaussian(z) — the
+    # paper's intended sampler, reachable only via this flag.
+    pose_source: str = ""               # '' | 'real' | 'reconstructed' | 'sampled'
     demo_img_dir: Optional[str] = None  # test_one_by_one inputs
     demo_pair_path: Optional[str] = None
     demo_all_peaks_path: Optional[str] = None

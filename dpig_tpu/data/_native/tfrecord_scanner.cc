@@ -179,11 +179,13 @@ struct Cursor {
   void Skip(uint32_t wt) {
     switch (wt) {
       case 0: Varint(); break;
-      case 1: p += 8; break;
+      case 1: if (end - p < 8) { ok = false; return; }
+              p += 8; break;
       case 2: { uint64_t n = Varint();
                 if (n > static_cast<uint64_t>(end - p)) { ok = false; return; }
                 p += n; break; }
-      case 5: p += 4; break;
+      case 5: if (end - p < 4) { ok = false; return; }
+              p += 4; break;
       default: ok = false;
     }
     if (p > end) ok = false;
@@ -314,6 +316,7 @@ int64_t tfr_parse(const uint8_t* rec, int64_t len, const char* names,
     }
   }
   int64_t found = 0;
+  std::vector<uint8_t> seen(n_wanted, 0);
   Cursor ex{rec, rec + len};
   uint32_t wt;
   while (uint32_t field = ex.Tag(&wt)) {
@@ -349,9 +352,20 @@ int64_t tfr_parse(const uint8_t* rec, int64_t len, const char* names,
       if (!key_p || !val_p) continue;
       for (int64_t i = 0; i < n_wanted; ++i) {
         if (key_n == klen[i] && memcmp(key_p, keys[i], key_n) == 0) {
+          if (seen[i]) {
+            // proto3 map semantics: a duplicate map-entry key replaces the
+            // earlier value (last-entry-wins), so reset this slot before
+            // re-parsing instead of accumulating across entries.
+            counts[i] = 0;
+            types[i] = 0;
+            boffs[i] = -1;
+            blens[i] = 0;
+          } else {
+            seen[i] = 1;
+            ++found;
+          }
           ParseFeature(rec, Cursor{val_p, val_p + val_n}, fbufs[i], caps[i],
                        &counts[i], &types[i], &boffs[i], &blens[i]);
-          ++found;
           break;
         }
       }

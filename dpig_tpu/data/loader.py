@@ -236,6 +236,14 @@ class TFRecordPairLoader:
                 self._rng = random.Random(seed * host_count + host_id)
         self.shards = shards
         self.num_samples = self._load_pair_count(split)
+        if self.num_samples is not None and self._record_stride > 1:
+            # Round-robin striding: this host only sees records with
+            # index ≡ offset (mod stride); report the per-host count so
+            # callers sizing iteration from num_samples don't hit
+            # StopIteration early with shuffle=False.
+            self.num_samples = (
+                self.num_samples - self._record_offset
+                + self._record_stride - 1) // self._record_stride
         self._it = iter_examples(shards, img_h, img_w, self.mask_keys,
                                  repeat=shuffle, num_workers=num_workers,
                                  stride=self._record_stride,

@@ -90,19 +90,26 @@ def score_pair_gray(g: np.ndarray, x_target: np.ndarray) -> dict:
     }
 
 
-def score_pair_masked(g: np.ndarray, x_target: np.ndarray,
-                      mask: np.ndarray) -> dict:
-    """Masked RGB scoring (score_mask.py:78-92): both images multiplied by
-    the (0/1) mask, multichannel SSIM, target's masked data range."""
-    m = (np.asarray(mask, np.float64) > 0).astype(np.float64)
+def apply_mask_uint8(img: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Reference masking op `np.uint8(mask[:,:,None]/255. * img)`
+    (score_mask.py:80-81,121): graded [0,255] mask scaled to [0,1],
+    multiplied, then truncated to uint8 — NOT binarized."""
+    m = np.asarray(mask, np.float64) / 255.0
     if m.ndim == 2:
         m = m[..., None]
-    gm = np.clip(g, 0, 255) * m
-    xm = np.clip(x_target, 0, 255) * m
-    dr = xm.max() - xm.min()
+    return (m * np.asarray(img, np.float64)).astype(np.uint8)
+
+
+def score_pair_masked(g: np.ndarray, x_target: np.ndarray,
+                      mask: np.ndarray) -> dict:
+    """Masked RGB scoring (score_mask.py:80-86): both images mask-multiplied
+    and cast to uint8, multichannel SSIM/PSNR with skimage's uint8 default
+    data_range of 255 (no data_range argument is passed in the reference)."""
+    gm = apply_mask_uint8(g, mask)
+    xm = apply_mask_uint8(x_target, mask)
     return {
-        "ssim": ssim_multichannel(gm, xm, data_range=dr),
-        "psnr": psnr(xm, gm, data_range=dr),
+        "ssim": ssim_multichannel(gm, xm, data_range=255),
+        "psnr": psnr(xm, gm, data_range=255),
         "l1": l1_mean_dist(gm, xm),
         "l2": l2_mean_dist(gm, xm),
     }

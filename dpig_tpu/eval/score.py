@@ -49,8 +49,13 @@ def score_stage1(model_dir: str, test_dir: str, masked: bool = False,
         out[f"{k}_G_x_std"] = float(np.std(vals))
 
     if inception_pb:
+        # Masked protocol feeds the masked generations to IS
+        # (score_mask.py:121-122): np.uint8(mask/255. * G).
+        is_input = ([metrics.apply_mask_uint8(g, m)
+                     for g, m in zip(g_list, masks)]
+                    if masked else g_list)
         is_mean, is_std = get_inception_score(
-            g_list, frozen_graph_logits_fn(inception_pb))
+            is_input, frozen_graph_logits_fn(inception_pb))
         out["IS_G_mean"], out["IS_G_std"] = is_mean, is_std
 
     score_path = os.path.join(root, "score_mask.txt" if masked

@@ -142,7 +142,12 @@ def test_model(cfg: Config) -> None:
             or cfg.interpolate_bg or cfg.interpolate_pose):
         testers.InterpolationTester(cfg).run(loader)
     elif model in (11,):
-        testers.FullSamplingTester(cfg).run(loader)
+        # --sample_pose maps to the reference behavior (tester.py:93-95):
+        # True decodes the AE embedding of the real pose ('reconstructed');
+        # --pose_source overrides (incl. 'sampled', the paper's sampler).
+        pose_source = cfg.pose_source or (
+            "reconstructed" if cfg.sample_pose else "real")
+        testers.FullSamplingTester(cfg).run(loader, pose_source=pose_source)
     elif model in (12, 1001):
         testers.ConditionalTransferTester(cfg).run(loader)
     elif model in (13, 1002):

@@ -150,6 +150,126 @@ def probe_winomm(batch):
               f"TOPS-eq", flush=True)
 
 
+def _cycles_table(compiled_text, clock_ghz=1.5, min_us=5.0):
+    """Parse estimated_cycles out of compiled HLO text.
+
+    Returns [(name, cycles, us)] sorted by cycles desc. The backend's
+    estimated_cycles matched measured per-HLO trace durations at ~1.5 GHz
+    on this stack (CLAUDE.md profiling workflow), so this is a
+    no-hardware cost oracle.
+    """
+    import re
+    rows = []
+    for line in compiled_text.splitlines():
+        m = re.search(r'"estimated_cycles":\s*"?(\d+)"?', line)
+        if not m:
+            continue
+        cyc = int(m.group(1))
+        nm = re.search(r'%?([\w\.\-]+)\s*=', line)
+        name = nm.group(1) if nm else "?"
+        rows.append((name, cyc, cyc / (clock_ghz * 1e3)))  # us
+    rows.sort(key=lambda r: -r[1])
+    total_us = sum(r[2] for r in rows)
+    print(f"total estimated: {total_us/1e3:.2f} ms over {len(rows)} "
+          f"costed HLOs")
+    for (name, cyc, us) in rows:
+        if us < min_us:
+            break
+        print(f"  {us:9.1f} us  {name}")
+    return rows
+
+
+def probe_oracle(batch):
+    """Compile the full int8 generator (bench configuration) and dump the
+    per-HLO estimated_cycles table — exact accounting of the serving
+    graph's cost without running it."""
+    from dpig_tpu.models import quant as quant_mod
+
+    ch = HIDDEN
+    fg_dim, bg_dim = 7 * 32, 32 * 4
+    params, quant_tables = _synthetic_generator_tables()
+
+    embs = jnp.zeros((batch, fg_dim + bg_dim), jnp.float32)
+    pose = jnp.zeros((batch, 128, 64, 18), jnp.float32)
+
+    def fwd(params, quant_tables, embs, pose):
+        out, z = quant_mod.uae_forward(params, embs, pose, REPEAT, ch,
+                                       quant=quant_tables)
+        return out
+
+    lowered = jax.jit(fwd).lower(params, quant_tables, embs, pose)
+    txt = lowered.compile().as_text()
+    _cycles_table(txt)
+
+
+def _synthetic_generator_tables():
+    """Random generator params + quant tables at the bench config, built
+    host-side (no TPU needed for compile-only probes)."""
+    from dpig_tpu.apps.stage1_app import Stage1App
+    from dpig_tpu.config import Config
+    from dpig_tpu.models import quant as quant_mod
+    from dpig_tpu.ops.pose import render_pose_maps
+
+    cfg = Config(img_H=128, img_W=64, batch_size=8,
+                 compute_dtype="bfloat16", model_dir="/tmp/bench")
+    app = Stage1App(cfg)
+    state = app.init_state(jax.random.PRNGKey(0))
+    gen_params = state.g_params["ID_AE"]
+    pose0 = render_pose_maps(
+        jnp.concatenate([
+            jax.random.uniform(jax.random.PRNGKey(0), (8, 18, 1)) * 127,
+            jax.random.uniform(jax.random.PRNGKey(1), (8, 18, 1)) * 63,
+            jnp.ones((8, 18, 1))], -1),
+        128, 64, 18, radius=4, normalized=False)
+    embs0 = jax.random.normal(jax.random.PRNGKey(9), (8, 7 * 32 + 32 * 4)) * 0.2
+    q = quant_mod.QuantizedGenerator(gen_params, cfg.repeat_num,
+                                     cfg.conv_hidden_num)
+    q.calibrate([embs0], [pose0])
+    return gen_params, q.quant
+
+
+def probe_oracle_conv(batch):
+    """estimated_cycles for single-conv layout/shape variants — the enc0
+    (Ci=Co=128 @128x64) emitter-tax experiments."""
+    from jax.experimental.layout import Layout, with_layout_constraint
+
+    def compile_cycles(fn, *args):
+        txt = jax.jit(fn).lower(*args).compile().as_text()
+        rows = []
+        import re
+        for line in txt.splitlines():
+            m = re.search(r'"estimated_cycles":\s*"?(\d+)"?', line)
+            if m:
+                rows.append(int(m.group(1)))
+        return sum(rows), txt
+
+    h, w = 128, 64
+    variants = []
+    x8 = jnp.zeros((batch, h, w, 128), jnp.int8)
+    k8 = jnp.zeros((3, 3, 128, 128), jnp.int8)
+
+    def conv_pinned(mtm):
+        def f(x, k):
+            x = with_layout_constraint(x, Layout(major_to_minor=mtm))
+            acc = jax.lax.conv_general_dilated(
+                x, k, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            return jnp.clip(acc, -127, 127).astype(jnp.int8)
+        return f
+
+    gop = 2 * batch * h * w * 9 * 128 * 128 / 1e9
+    for mtm in [(1, 2, 0, 3), (0, 1, 2, 3), (1, 2, 3, 0), (2, 1, 0, 3),
+                (0, 2, 1, 3)]:
+        cyc, txt = compile_cycles(conv_pinned(mtm), x8, k8)
+        us = cyc / 1.5e3
+        tops = gop / us * 1e3 if us else 0
+        emitters = sorted(set(
+            s for s in ("EmitAllBatchInSublanes", "EmitInputBatchInLanes",
+                        "EmitGeneric") if s in txt))
+        print(f"  mtm={mtm}  {us:8.1f} us  {tops:6.1f} TOPS  {emitters}")
+
+
 def main():
     probe = sys.argv[1]
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 256
@@ -161,6 +281,10 @@ def main():
         probe_winomm(batch)
     elif probe == "raster":
         probe_raster(batch)
+    elif probe == "oracle":
+        probe_oracle(batch)
+    elif probe == "oracle_conv":
+        probe_oracle_conv(batch)
     else:
         raise SystemExit(f"unknown probe {probe}")
 

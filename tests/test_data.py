@@ -64,6 +64,34 @@ def test_tfrecord_tf_interop(tmp_path, rng):
     assert list(tfrecord.read_records(theirs, verify_crc=True)) == recs
 
 
+def test_native_parser_duplicate_keys_last_wins(rng):
+    """proto3 map semantics: a duplicate map-entry key replaces the earlier
+    value. Concatenating two serialized Examples with the same feature key
+    produces exactly that wire form; the native parser must agree with
+    protobuf (last entry wins, no cross-entry accumulation)."""
+    from dpig_tpu.data import _native
+    if _native.get_lib() is None:
+        pytest.skip("no g++ available")
+
+    def one(vals, bts=None):
+        ex = pb.Example()
+        ex.features.feature["f"].float_list.value.extend(vals)
+        if bts is not None:
+            ex.features.feature["b"].bytes_list.value.append(bts)
+        return ex.SerializeToString()
+
+    rec = one([1.0, 2.0], b"first") + one([7.0, 8.0, 9.0], b"second")
+    # protobuf ground truth
+    merged = pb.Example.FromString(rec)
+    assert list(merged.features.feature["f"].float_list.value) == [7, 8, 9]
+    assert merged.features.feature["b"].bytes_list.value[0] == b"second"
+
+    out = _native.parse_example_features(rec, [("f", 8), ("b", 0)])
+    np.testing.assert_array_equal(out["f"], [7.0, 8.0, 9.0])
+    boff, blen = out["b"]
+    assert rec[boff:boff + blen] == b"second"
+
+
 def test_pair_loader_batches(tmp_path, rng):
     from dpig_tpu.data.loader import TFRecordPairLoader
     h, w = 32, 16
@@ -203,6 +231,37 @@ def test_multihost_few_shards_round_robin(tmp_path, rng):
     got = np.concatenate([batches[0]["x"], batches[1]["x"]])
     assert np.allclose(np.sort(got.reshape(8, -1), axis=0),
                        np.sort(full.reshape(8, -1), axis=0))
+
+
+def test_round_robin_num_samples_is_per_host(tmp_path, rng):
+    """In the fewer-shards-than-hosts path num_samples must report the
+    per-host strided count, not the global pair count, so shuffle=False
+    callers sizing iteration from it don't hit StopIteration early."""
+    import pickle
+    from dpig_tpu.data.loader import TFRecordPairLoader
+    h, w = 32, 16
+    path = str(tmp_path / "Market1501_train_00000.tfrecord")
+    with tfrecord.TFRecordWriter(path) as wr:
+        for _ in range(7):
+            wr.write(make_example(rng, h, w))
+    with open(tmp_path / "pn_pairs_num_train.p", "wb") as f:
+        pickle.dump(7, f, protocol=2)
+    counts = []
+    for hid in range(2):
+        loader = TFRecordPairLoader(str(tmp_path), "train", batch_size=1,
+                                    img_h=h, img_w=w, dataset="market",
+                                    shuffle=False, host_id=hid, host_count=2)
+        counts.append(loader.num_samples)
+        # the loader must actually yield that many samples
+        got = 0
+        try:
+            for _ in range(10):
+                next(loader)
+                got += 1
+        except StopIteration:
+            pass
+        assert got == loader.num_samples, (hid, got, loader.num_samples)
+    assert counts == [4, 3]
 
 
 def test_prefetch_queue_sticky_stop(tmp_path, rng):

@@ -66,10 +66,50 @@ def test_rgb2gray_weights():
 def test_score_pair_masked_runs(rng):
     g = rng.integers(0, 255, (16, 8, 3)).astype(np.float64)
     x = rng.integers(0, 255, (16, 8, 3)).astype(np.float64)
-    m = (rng.uniform(size=(16, 8)) > 0.5).astype(np.float64)
+    m = (rng.uniform(size=(16, 8)) > 0.5).astype(np.float64) * 255
     out = metrics.score_pair_masked(g, x, m)
     assert set(out) == {"ssim", "psnr", "l1", "l2"}
     assert all(np.isfinite(v) for v in out.values())
+
+
+def test_score_pair_masked_matches_reference_transcription(rng):
+    """Golden: direct transcription of score_mask.py:80-86 — graded
+    [0,255] mask scaled by /255, uint8 truncation, skimage uint8 default
+    data_range=255 for both SSIM (multichannel) and PSNR."""
+    g = rng.integers(0, 256, (20, 14, 3)).astype(np.uint8)
+    x = rng.integers(0, 256, (20, 14, 3)).astype(np.uint8)
+    # graded mask incl. mid values — binarizing it would change the result
+    m = rng.integers(0, 256, (20, 14)).astype(np.uint8)
+
+    # reference lines, verbatim semantics
+    masked_g = np.uint8(m[:, :, np.newaxis] / 255. * g)
+    masked_x = np.uint8(m[:, :, np.newaxis] / 255. * x)
+    want_ssim = float(np.mean(
+        [naive_ssim(masked_g[..., c].astype(np.float64),
+                    masked_x[..., c].astype(np.float64), 255)
+         for c in range(3)]))
+    mse = np.mean((masked_x.astype(float) - masked_g.astype(float)) ** 2)
+    want_psnr = 10 * np.log10(255.0 ** 2 / mse)
+    diff = masked_g.astype(float) - masked_x.astype(float)
+    want_l1 = np.sum(np.abs(diff)) / np.prod(masked_g.shape)
+    want_l2 = np.sqrt(np.sum(diff ** 2)) / np.prod(masked_g.shape)
+
+    out = metrics.score_pair_masked(g, x, m)
+    assert abs(out["ssim"] - want_ssim) < 1e-9
+    assert abs(out["psnr"] - want_psnr) < 1e-9
+    assert abs(out["l1"] - want_l1) < 1e-12
+    assert abs(out["l2"] - want_l2) < 1e-12
+
+
+def test_apply_mask_uint8_graded_truncation():
+    img = np.full((2, 2, 3), 200, np.uint8)
+    m = np.array([[0, 128], [255, 51]], np.uint8)
+    out = metrics.apply_mask_uint8(img, m)
+    # np.uint8(128/255*200)=100 (truncated), 51/255*200=40, etc.
+    assert out[0, 0, 0] == 0
+    assert out[0, 1, 0] == int(128 / 255 * 200)
+    assert out[1, 0, 0] == 200
+    assert out[1, 1, 0] == int(51 / 255 * 200)
 
 
 def test_batched_ssim_preview_metric(rng):

@@ -39,6 +39,53 @@ def test_full_sampling_pose_sources(tmp_path):
         assert np.isfinite(np.asarray(score)).all()
 
 
+def test_sample_pose_cli_wiring(tmp_path):
+    """--sample_pose=true on model 11 must switch the tester into the
+    reference's decode-real-pose-embedding mode (tester.py:93-95):
+    pose_source='reconstructed', reflected in the output tree name."""
+    import main as cli
+    cfg = small_cfg(tmp_path, model=11, synthetic_data=True,
+                    test_batch_num=1, sample_pose=True, sample_app=True)
+    cli.test_model(cfg)
+    trees = os.listdir(tmp_path)
+    assert any("Pose-reconstructed" in t for t in trees), trees
+
+    cfg2 = small_cfg(tmp_path, model=11, synthetic_data=True,
+                     test_batch_num=1, sample_pose=False, sample_app=True)
+    cli.test_model(cfg2)
+    trees = os.listdir(tmp_path)
+    assert any("Pose-real" in t for t in trees), trees
+
+    # --pose_source overrides, exposing the paper's intended sampler
+    cfg3 = small_cfg(tmp_path, model=11, synthetic_data=True,
+                     test_batch_num=1, pose_source="sampled")
+    cli.test_model(cfg3)
+    trees = os.listdir(tmp_path)
+    assert any("Pose-sampled" in t for t in trees), trees
+
+
+def test_int8_calibration_covers_sampled_embeddings(tmp_path):
+    """With sample_app=True the int8 calibration must include a
+    mapper-sampled embedding batch (sampled embs can exceed the
+    encoder-derived absmax and would be clipped otherwise)."""
+    import jax
+    cfg = small_cfg(tmp_path, sample_app=True, inference_dtype="int8")
+    t = testers.FullSamplingTester(cfg)
+    batch = next(SyntheticLoader(cfg.batch_size, cfg.img_H, cfg.img_W,
+                                 seed=11))
+    sampled = t._sampled_calib_embs(t.params, cfg.batch_size,
+                                    jax.random.PRNGKey(0))
+    assert sampled is not None
+    assert sampled.shape == (cfg.batch_size,
+                             cfg.roi_part_num * cfg.roi_z_num
+                             + cfg.roi_z_num * 4)
+    # without sampling flags there is nothing extra to calibrate on
+    cfg2 = small_cfg(tmp_path, inference_dtype="int8")
+    t2 = testers.FullSamplingTester(cfg2)
+    assert t2._sampled_calib_embs(t2.params, cfg.batch_size,
+                                  jax.random.PRNGKey(0)) is None
+
+
 def test_factor_sampling_fixed_factors_are_tiled(tmp_path):
     # with nothing sampled, all outputs in a batch share factor embeddings
     cfg = small_cfg(tmp_path, sample_fg=False, sample_bg=False,
