@@ -46,32 +46,47 @@ def main() -> None:
         bench_transfer(batch_size, n_iters, dtype)
         return
 
-    cfg = Config(img_H=128, img_W=64, batch_size=batch_size,
+    if mode == "df":
+        # DeepFashion 256x256 generation (model 1002 shape: repeat-1
+        # generator at 256, trainer_256.py:597-614); ~12.3x the 128x64
+        # FLOPs per image.
+        h, w, metric = 256, 256, f"virtual_person_generation_256x256_{dtype}"
+        baseline = BASELINE_IMGS_PER_SEC / 12.3  # FLOP-scaled north star
+    else:
+        h, w, metric = 128, 64, f"virtual_person_generation_128x64_{dtype}"
+        baseline = BASELINE_IMGS_PER_SEC
+    cfg = Config(img_H=h, img_W=w, batch_size=batch_size,
                  compute_dtype="bfloat16", model_dir="/tmp/bench")
     app = Stage1App(cfg)
     state = app.init_state(jax.random.PRNGKey(0))
+    gen_params = state.g_params["ID_AE"]
+    gen_repeat = cfg.repeat_num - 1 if h >= 256 else cfg.repeat_num
+    # total embedding width the generator stem was built for
+    emb_dim = gen_params["stem_kernel"].shape[2] - cfg.keypoint_num
 
-    fg_dim = cfg.roi_part_num * cfg.roi_z_num
-    bg_dim = cfg.roi_z_num * 4
+    if mode == "df":  # model 1002: ONE app mapper (tester.py:917-1161)
+        fg_dim, bg_dim = emb_dim, 0
+    else:
+        fg_dim = cfg.roi_part_num * cfg.roi_z_num
+        bg_dim = emb_dim - fg_dim
     mapper_fg = GaussianMapper(out_dim=fg_dim, hidden_num=512)
-    mapper_bg = GaussianMapper(out_dim=bg_dim, hidden_num=256)
+    mapper_bg = GaussianMapper(out_dim=max(bg_dim, 1), hidden_num=256)
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
     mf = jax.jit(mapper_fg.init)(k1, jnp.zeros((2, fg_dim)))["params"]
-    mb = jax.jit(mapper_bg.init)(k2, jnp.zeros((2, bg_dim)))["params"]
+    mb = jax.jit(mapper_bg.init)(k2, jnp.zeros((2, max(bg_dim, 1))))["params"]
 
     b = synthetic_batch(np.random.default_rng(0), batch_size, cfg.img_H,
                         cfg.img_W)
     pose_rcv = jnp.asarray(b["pose_rcv"])
 
-    gen_params = state.g_params["ID_AE"]
     quant_tables = None
     if dtype == "int8":
         from dpig_tpu.models import quant as quant_mod
         pose0 = render_pose_maps(pose_rcv, cfg.img_H, cfg.img_W,
                                  cfg.keypoint_num, radius=4, normalized=False)
         embs0 = jax.random.normal(jax.random.PRNGKey(9),
-                                  (batch_size, fg_dim + bg_dim)) * 0.2
-        q = quant_mod.QuantizedGenerator(gen_params, cfg.repeat_num,
+                                  (batch_size, emb_dim)) * 0.2
+        q = quant_mod.QuantizedGenerator(gen_params, gen_repeat,
                                          cfg.conv_hidden_num)
         q.calibrate([embs0], [pose0])
         quant_tables = q.quant
@@ -99,17 +114,21 @@ def main() -> None:
                                     normalized=False)
             fg = mapper_fg.apply({"params": mf},
                                  sample_mapper_noise(rf, batch_size, fg_dim))
-            bg = mapper_bg.apply({"params": mb},
-                                 sample_mapper_noise(rb, batch_size, bg_dim))
-            embs = jnp.concatenate([fg, bg], -1)
+            if bg_dim:
+                bg = mapper_bg.apply(
+                    {"params": mb},
+                    sample_mapper_noise(rb, batch_size, bg_dim))
+                embs = jnp.concatenate([fg, bg], -1)
+            else:
+                embs = fg
             from dpig_tpu.models import quant as quant_mod
             if quant_tables is not None:
                 g_raw, _ = quant_mod.uae_forward(
-                    gen_params, embs, pose, cfg.repeat_num,
+                    gen_params, embs, pose, gen_repeat,
                     cfg.conv_hidden_num, quant=quant_tables)
             else:
                 g_raw, _ = quant_mod.uae_forward_bf16(
-                    gen_params, embs, pose, cfg.repeat_num,
+                    gen_params, embs, pose, gen_repeat,
                     cfg.conv_hidden_num)
             return jnp.clip((g_raw.astype(jnp.float32) + 1.0) * 127.5,
                             0.0, 255.0).astype(jnp.uint8)
@@ -128,10 +147,10 @@ def main() -> None:
 
     imgs_per_sec = n_iters * batch_size / dt
     print(json.dumps({
-        "metric": f"virtual_person_generation_128x64_{dtype}",
+        "metric": metric,
         "value": round(imgs_per_sec, 1),
         "unit": "images/sec/chip",
-        "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
+        "vs_baseline": round(imgs_per_sec / baseline, 3),
     }))
 
 

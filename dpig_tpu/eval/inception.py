@@ -56,6 +56,63 @@ def get_inception_score(images: Sequence[np.ndarray],
     return inception_score_from_probs(np.concatenate(preds, 0), splits)
 
 
+INCEPTION_URL = ("http://download.tensorflow.org/models/image/imagenet/"
+                 "inception-2015-12-05.tgz")
+INCEPTION_PB = "classify_image_graph_def.pb"
+DEFAULT_CACHE = "/tmp/imagenet"  # the reference's MODEL_DIR (inception_score.py:12)
+
+
+def ensure_inception_graph(cache_dir: str = DEFAULT_CACHE,
+                           sha256: str = "") -> "str | None":
+    """Bootstrap the 2015-12-05 frozen Inception graph like the reference
+    (tflib/inception_score.py:12-20): reuse a cached copy, else download
+    + extract if the network is reachable. Returns the .pb path, or None
+    when unreachable (callers then require --inception_pb).
+
+    Integrity: if `sha256` is given (or env DPIG_INCEPTION_SHA256), the
+    tarball is checked against it; the extracted GraphDef is always
+    structurally validated by parsing it before use.
+    """
+    import hashlib
+    import tarfile
+    import urllib.request
+
+    pb_path = os.path.join(cache_dir, INCEPTION_PB)
+    if os.path.exists(pb_path):
+        return pb_path
+    os.makedirs(cache_dir, exist_ok=True)
+    tgz = os.path.join(cache_dir, os.path.basename(INCEPTION_URL))
+    try:
+        if not os.path.exists(tgz):
+            print(f"[*] downloading {INCEPTION_URL} ...", flush=True)
+            urllib.request.urlretrieve(INCEPTION_URL, tgz)
+    except Exception as e:  # zero-egress / offline: degrade loudly
+        print(f"[!] inception graph download failed ({e}); pass "
+              "--inception_pb to score with the protocol classifier",
+              flush=True)
+        return None
+    want = sha256 or os.environ.get("DPIG_INCEPTION_SHA256", "")
+    if want:
+        h = hashlib.sha256()
+        with open(tgz, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        if h.hexdigest() != want:
+            raise IOError(f"{tgz}: sha256 {h.hexdigest()} != expected {want}")
+    with tarfile.open(tgz, "r:gz") as tar:
+        member = tar.getmember(INCEPTION_PB)
+        tar.extract(member, cache_dir)
+    # structural validation: a frozen GraphDef must parse
+    try:
+        import tensorflow as tf
+        gd = tf.compat.v1.GraphDef()
+        with open(pb_path, "rb") as f:
+            gd.ParseFromString(f.read())
+    except ImportError:
+        pass  # no TF: frozen_graph_logits_fn will fail loudly later anyway
+    return pb_path
+
+
 def frozen_graph_logits_fn(pb_path: str) -> Callable[[np.ndarray], np.ndarray]:
     """Load the reference's frozen Inception graph (requires TF + the local
     classify_image_graph_def.pb; same tensor endpoints as

@@ -18,7 +18,8 @@ import numpy as np
 from PIL import Image
 
 from . import metrics
-from .inception import frozen_graph_logits_fn, get_inception_score
+from .inception import (ensure_inception_graph, frozen_graph_logits_fn,
+                        get_inception_score)
 
 
 def _load_dir(d: str) -> List[np.ndarray]:
@@ -107,8 +108,16 @@ def main() -> None:
     ap.add_argument("model_dir")
     ap.add_argument("test_dir")
     ap.add_argument("--mask", action="store_true")
-    ap.add_argument("--inception_pb", default=None)
+    ap.add_argument("--inception_pb", default=None,
+                    help="frozen classify_image_graph_def.pb; omitted -> "
+                         "reuse /tmp/imagenet cache or download like the "
+                         "reference (tflib/inception_score.py:12-20); IS "
+                         "is skipped when neither is available")
+    ap.add_argument("--no_is", action="store_true",
+                    help="skip the Inception Score entirely")
     a = ap.parse_args()
+    if a.inception_pb is None and not a.no_is:
+        a.inception_pb = ensure_inception_graph()
     if a.stage == 2:
         score_stage2(a.model_dir, a.test_dir, inception_pb=a.inception_pb)
     elif a.stage == 1:

@@ -37,6 +37,23 @@ def upscale_nn(x: jax.Array, scale: int = 2) -> jax.Array:
     return x.reshape(b, h * scale, w * scale, c)
 
 
+def upscale_nn_concat(x: jax.Array, scale: int = 2) -> jax.Array:
+    """upscale_nn via channel-concat + reshape (bit-identical output).
+
+    [B,H,W,C] -> concat 2x along C -> [B,H,2W,C] duplicates each pixel
+    along W (row-major: w*2C+c maps to (2w+c//C)*C + c%C), then the same
+    along H. MEASURED DEAD END on the v5e (estimated_cycles oracle,
+    round 3): the reshapes force layout copies around the pad_add concat
+    fusion (~14 ms est vs ~7.4 ms for the 6-D broadcast form in the
+    bs256 generator) — kept as the calibrated alternative; use
+    `upscale_nn`."""
+    assert scale == 2, "concat form implemented for 2x only"
+    b, h, w, c = x.shape
+    x = jnp.concatenate([x, x], axis=-1).reshape(b, h, 2 * w, c)
+    x = jnp.concatenate([x.reshape(b, h, 1, 2 * w * c)] * 2, axis=2)
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
 def avg_pool_2x(x: jax.Array) -> jax.Array:
     """2x2/2 average pool, SAME padding, NHWC (for MS-SSIM pyramid)."""
     return jax.lax.reduce_window(

@@ -270,6 +270,91 @@ def probe_oracle_conv(batch):
         print(f"  mtm={mtm}  {us:8.1f} us  {tops:6.1f} TOPS  {emitters}")
 
 
+def probe_oracle_shapes(batch):
+    """Compile-only TOPS estimate for chained s8 convs at in-graph-like
+    shapes (quantize->conv->epilogue->conv, pinned layouts) — isolates
+    the Ci/Co/spatial emitter behavior behind the enc0 tax."""
+    from dpig_tpu.models.quant import _pin_layout
+
+    def chain(shape_in, ci, co, n_convs=2):
+        h, w = shape_in
+
+        def f(x8, ks):
+            x = x8
+            for i in range(n_convs):
+                k = ks[i]
+                acc = jax.lax.conv_general_dilated(
+                    _pin_layout(x), k, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32)
+                x = _pin_layout(jnp.clip(
+                    jnp.round(acc.astype(jnp.float32) * 2e-4),
+                    -127, 127).astype(jnp.int8))
+            return x
+        x8 = jnp.zeros((batch, h, w, ci), jnp.int8)
+        ks = [jnp.zeros((3, 3, ci if i == 0 else co, co), jnp.int8)
+              for i in range(n_convs)]
+        txt = jax.jit(f).lower(x8, ks).compile().as_text()
+        import re
+        conv_cyc = []
+        for line in txt.splitlines():
+            if '"emitter"' not in line:
+                continue
+            m = re.search(r'"estimated_cycles":"(\d+)"', line)
+            e = re.search(r'"emitter":"(\w+)"', line)
+            if m:
+                conv_cyc.append((int(m.group(1)), e.group(1) if e else "?"))
+        us = sum(c for c, _ in conv_cyc) / 1.5e3
+        gop = sum(2 * batch * h * w * 9 * (ci if i == 0 else co) * co
+                  for i in range(n_convs)) / 1e9
+        emitters = sorted({e for _, e in conv_cyc})
+        print(f"  {h}x{w} ci{ci} co{co} x{n_convs}: {us:8.1f} us "
+              f"{gop/us*1e3:6.1f} TOPS  {emitters}", flush=True)
+
+    def rowfold(h, w, ci, co):
+        """3x3 conv expressed as row-concat + 1x3 conv with Ci=3*ci
+        (identical MACs) — tests whether tripling the input-channel
+        tiles escapes the Ci=128 emitter tax."""
+        from dpig_tpu.models.quant import _pin_layout
+
+        def f(x8, k):
+            pad = jnp.pad(x8, ((0, 0), (1, 1), (0, 0), (0, 0)))
+            rows = jnp.concatenate(
+                [pad[:, :-2], pad[:, 1:-1], pad[:, 2:]], axis=-1)
+            acc = jax.lax.conv_general_dilated(
+                _pin_layout(rows), k, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            return _pin_layout(jnp.clip(
+                jnp.round(acc.astype(jnp.float32) * 2e-4),
+                -127, 127).astype(jnp.int8))
+        x8 = jnp.zeros((batch, h, w, ci), jnp.int8)
+        k = jnp.zeros((1, 3, 3 * ci, co), jnp.int8)
+        txt = jax.jit(f).lower(x8, k).compile().as_text()
+        import re
+        tot_conv = tot_other = 0
+        for line in txt.splitlines():
+            m = re.search(r'"estimated_cycles":"(\d+)"', line)
+            if not m:
+                continue
+            if '"emitter"' in line:
+                tot_conv += int(m.group(1))
+            else:
+                tot_other += int(m.group(1))
+        us, ous = tot_conv / 1.5e3, tot_other / 1.5e3
+        gop = 2 * batch * h * w * 9 * ci * co / 1e9
+        print(f"  rowfold {h}x{w} ci{ci} co{co}: conv {us:8.1f} us "
+              f"{gop/us*1e3:6.1f} TOPS + glue {ous:8.1f} us", flush=True)
+
+    chain((128, 64), 128, 128)   # enc0 shape
+    chain((128, 64), 256, 256)   # dec4 shape (the 366-TOPS norm)
+    chain((64, 64), 128, 128)    # spatial-independence check
+    chain((128, 64), 128, 256)   # Co doubled
+    chain((128, 64), 256, 128)   # Ci doubled
+    chain((64, 32), 256, 256)    # enc1 shape
+    rowfold(128, 64, 128, 128)   # enc0 via 1x3 Ci=384
+
+
 def main():
     probe = sys.argv[1]
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 256
@@ -285,6 +370,8 @@ def main():
         probe_oracle(batch)
     elif probe == "oracle_conv":
         probe_oracle_conv(batch)
+    elif probe == "oracle_shapes":
+        probe_oracle_shapes(batch)
     else:
         raise SystemExit(f"unknown probe {probe}")
 
