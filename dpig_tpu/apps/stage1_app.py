@@ -43,16 +43,13 @@ class Stage1App:
         enc_repeat = cfg.repeat_num + 1 if is_256 else cfg.repeat_num
         gen_repeat = cfg.repeat_num - 1 if is_256 else cfg.repeat_num
         roi_size = 64 if is_256 else 48
-        if fg_bg and not is_256:
-            self.encoder = RoiEncoderFgBg(
-                part_num=cfg.roi_part_num, z_num=cfg.roi_z_num,
-                repeat_num=enc_repeat, hidden_num=cfg.conv_hidden_num,
-                roi_size=roi_size, activation=nn.relu, dtype=dtype)
-        else:
-            self.encoder = RoiEncoder(
-                part_num=cfg.roi_part_num, z_num=cfg.roi_z_num,
-                repeat_num=enc_repeat, hidden_num=cfg.conv_hidden_num,
-                roi_size=roi_size, activation=nn.relu, dtype=dtype)
+        enc_cls = RoiEncoderFgBg if (fg_bg and not is_256) else RoiEncoder
+        if cfg.remat:  # --remat covers the encoder too (bs256 training
+            enc_cls = nn.remat(enc_cls)  # OOMs by ~58M with gen-only remat)
+        self.encoder = enc_cls(
+            part_num=cfg.roi_part_num, z_num=cfg.roi_z_num,
+            repeat_num=enc_repeat, hidden_num=cfg.conv_hidden_num,
+            roi_size=roi_size, activation=nn.relu, dtype=dtype)
         gen_cls = nn.remat(UAEGenerator) if cfg.remat else UAEGenerator
         self.generator = gen_cls(
             out_channels=3, z_num=cfg.z_num, repeat_num=gen_repeat,
@@ -134,9 +131,17 @@ class Stage1App:
             jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params))
         state = state.apply_g(g_grads)
 
-        # ---- D update (1 iter for dcgan, trainer.py:340-344)
-        g_raw_new, _ = self.g_forward(state.g_params, x, pose, mask, bbox, vis)
-        g_raw_new = jax.lax.stop_gradient(g_raw_new)
+        # ---- D update (1 iter for dcgan, trainer.py:340-344).
+        # Reference-faithful: the d_optim sess.run re-executes the graph
+        # with the post-G-update params, so D scores fresh fakes
+        # (trainer.py:337-345). --fast_gan_step reuses the G-step's output
+        # (pre-update params) and saves a full generator+encoder forward.
+        if cfg.fast_gan_step:
+            g_raw_new = jax.lax.stop_gradient(g_raw)
+        else:
+            g_raw_new, _ = self.g_forward(state.g_params, x, pose, mask,
+                                          bbox, vis)
+            g_raw_new = jax.lax.stop_gradient(g_raw_new)
 
         def d_loss_fn(d_params):
             d_real, stats1 = self._disc_apply(d_params, state.d_stats, x)

@@ -110,6 +110,13 @@ class Config:
     # never the Gaussian sample). 'sampled' decodes PoseGaussian(z) — the
     # paper's intended sampler, reachable only via this flag.
     pose_source: str = ""               # '' | 'real' | 'reconstructed' | 'sampled'
+    # Reference-faithful GAN stepping re-runs the generator forward with
+    # the POST-G-update params to build the D batch (two separate
+    # sess.run's, trainer.py:337-345). fast_gan_step=true feeds D the
+    # pre-update G output from the G step instead — one full
+    # generator+encoder forward less per step (~17% on the v5e), with
+    # slightly different (standard simultaneous-GAN) dynamics.
+    fast_gan_step: bool = False
     demo_img_dir: Optional[str] = None  # test_one_by_one inputs
     demo_pair_path: Optional[str] = None
     demo_all_peaks_path: Optional[str] = None

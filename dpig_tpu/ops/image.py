@@ -24,17 +24,46 @@ def denorm_img(norm: jax.Array) -> jax.Array:
     return jnp.clip((norm + 1.0) * 127.5, 0.0, 255.0)
 
 
+def _upscale_nn_raw(x: jax.Array, scale: int) -> jax.Array:
+    b, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (b, h, scale, w, scale, c))
+    return x.reshape(b, h * scale, w * scale, c)
+
+
+@jax.custom_vjp
+def _upscale_nn_2x(x: jax.Array) -> jax.Array:
+    return _upscale_nn_raw(x, 2)
+
+
+def _upscale_fwd(x):
+    return _upscale_nn_2x(x), None
+
+
+def _upscale_bwd(_, g):
+    # Gradient of NN 2x upsample = sum over each 2x2 duplicate group.
+    # Expressed as four strided slices added elementwise: XLA fuses this
+    # into one pass, where the generic reduce over the reshaped 6-D view
+    # is emitted ~6x over its bandwidth floor on the v5e
+    # (estimated_cycles oracle, train-step dump).
+    return (g[:, ::2, ::2] + g[:, 1::2, ::2]
+            + g[:, ::2, 1::2] + g[:, 1::2, 1::2],)
+
+
+_upscale_nn_2x.defvjp(_upscale_fwd, _upscale_bwd)
+
+
 def upscale_nn(x: jax.Array, scale: int = 2) -> jax.Array:
     """Nearest-neighbor 2x upsample of an NHWC tensor.
 
     Matches tf.image.resize_nearest_neighbor for integer scale factors
     (reference utils.py:61-72). Implemented as reshape+broadcast so XLA
-    lowers it to a cheap layout change instead of a gather.
+    lowers it to a cheap layout change instead of a gather; the 2x path
+    carries a custom VJP (strided-slice sum, see _upscale_bwd).
     """
-    b, h, w, c = x.shape
-    x = x[:, :, None, :, None, :]
-    x = jnp.broadcast_to(x, (b, h, scale, w, scale, c))
-    return x.reshape(b, h * scale, w * scale, c)
+    if scale == 2:
+        return _upscale_nn_2x(x)
+    return _upscale_nn_raw(x, scale)
 
 
 def upscale_nn_concat(x: jax.Array, scale: int = 2) -> jax.Array:

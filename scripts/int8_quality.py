@@ -1,0 +1,135 @@
+"""int8 PTQ quality gate at deeper checkpoints (VERDICT r2 item 5).
+
+  python scripts/int8_quality.py train <steps> [model_dir]
+  python scripts/int8_quality.py check <model_dir> [--per_layer]
+
+`train` runs Stage-I (Market 128x64, bs64, synthetic data, fixed seed) to
+<steps> on the TPU and checkpoints. `check` loads the newest checkpoint
+and compares float vs chained-int8 generation on held-out synthetic
+batches:
+
+  * SSIM(int8, float)            — direct PTQ fidelity
+  * SSIM-to-target delta         — the protocol metric's sensitivity
+                                   (score.py grayscale SSIM vs x_target)
+
+--per_layer additionally ranks layers by their contribution to the int8
+error (leave-one-layer-out in bf16), the input for a selective-bf16
+fallback if drift ever exceeds the gate.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+
+def train(steps: int, model_dir: str) -> None:
+    import jax
+    import jax.numpy as jnp
+    from dpig_tpu.apps.stage1_app import Stage1App
+    from dpig_tpu.config import Config
+    from dpig_tpu.data.synthetic import SyntheticLoader
+    from dpig_tpu.train.harness import Trainer
+
+    cfg = Config(img_H=128, img_W=64, batch_size=64, compute_dtype="bfloat16",
+                 model_dir=model_dir, max_step=steps, log_step=500,
+                 save_model_secs=600, synthetic_data=True)
+    app = Stage1App(cfg)
+    loader = SyntheticLoader(cfg.batch_size, cfg.img_H, cfg.img_W, seed=123)
+    Trainer(cfg, app, loader).train()
+
+
+def check(model_dir: str, per_layer: bool = False, n_batches: int = 4) -> None:
+    import jax
+    import jax.numpy as jnp
+    from dpig_tpu.apps.common import pose_maps_from_batch, select_parts
+    from dpig_tpu.apps.stage1_app import Stage1App
+    from dpig_tpu.config import Config
+    from dpig_tpu.data.synthetic import SyntheticLoader
+    from dpig_tpu.eval.metrics import ssim_images
+    from dpig_tpu.models import quant as quant_mod
+    from dpig_tpu.train import checkpoint as ckpt
+
+    cfg = Config(img_H=128, img_W=64, batch_size=64,
+                 compute_dtype="bfloat16", model_dir=model_dir)
+    app = Stage1App(cfg)
+    state = app.init_state(jax.random.PRNGKey(0))
+    path = ckpt.latest_checkpoint(model_dir)
+    assert path is not None, f"no checkpoint under {model_dir}"
+    state = ckpt.restore_into_state(path, state)
+    gen_params = state.g_params["ID_AE"]
+    enc_params = state.g_params["Encoder"]
+    print(f"[*] checking {path}")
+
+    # held-out batches (different seed than training's 123)
+    loader = SyntheticLoader(cfg.batch_size, cfg.img_H, cfg.img_W, seed=999)
+    batches = [next(loader) for _ in range(n_batches)]
+
+    def embs_pose(b):
+        jb = {k: jnp.asarray(v) for k, v in b.items()}
+        bbox, vis = select_parts(jb["part_bbox"], jb["part_vis"],
+                                 cfg.roi_part_num)
+        embs = app._encode(enc_params, jb["x"], jb["mask_r6"], bbox, vis)
+        pose = pose_maps_from_batch(jb, cfg)
+        return embs, pose, jb
+
+    fwd = jax.jit(lambda p, e, po, q: quant_mod.uae_forward(
+        p, e, po, cfg.repeat_num, cfg.conv_hidden_num, quant=q)[0])
+    fwd_f = jax.jit(lambda p, e, po: quant_mod.uae_forward(
+        p, e, po, cfg.repeat_num, cfg.conv_hidden_num)[0])
+
+    e0, p0, _ = embs_pose(batches[0])
+    q = quant_mod.QuantizedGenerator(gen_params, cfg.repeat_num,
+                                     cfg.conv_hidden_num)
+    q.calibrate([e0], [p0])
+
+    ssim_if, d_float, d_int8 = [], [], []
+    for b in batches[1:]:
+        e, po, jb = embs_pose(b)
+        gf = np.asarray(fwd_f(gen_params, e, po))
+        gq = np.asarray(fwd(gen_params, e, po, q.quant))
+        to255 = lambda a: np.clip((a + 1) * 127.5, 0, 255)  # noqa: E731
+        x255 = to255(np.asarray(jb["x"]))
+        ssim_if.append(ssim_images(to255(gq), to255(gf)).mean())
+        d_float.append(ssim_images(to255(gf), x255).mean())
+        d_int8.append(ssim_images(to255(gq), x255).mean())
+    print(f"SSIM(int8,float)      = {np.mean(ssim_if):.4f}")
+    print(f"SSIM-to-target float  = {np.mean(d_float):.4f}")
+    print(f"SSIM-to-target int8   = {np.mean(d_int8):.4f}")
+    print(f"SSIM-to-target delta  = {np.mean(d_int8) - np.mean(d_float):+.4f}")
+
+    if per_layer:
+        # leave-one-layer-out: run the LEGACY (unchained) quant path with
+        # one conv dropped from the int8 weight set (falls back to bf16)
+        # and rank the recovery — the candidates for selective fallback.
+        e, po, jb = embs_pose(batches[1])
+        gf = np.asarray(fwd_f(gen_params, e, po))
+        base = None
+        rows = []
+        names = sorted(q.quant["weights"])
+        for drop in [None] + names:
+            qq = {"weights": {k: v for k, v in q.quant["weights"].items()
+                              if k != drop},
+                  "act_scales": q.quant["act_scales"], "wino": {}}
+            g = np.asarray(jax.jit(lambda p, e, po, qq=qq: quant_mod.uae_forward(
+                p, e, po, cfg.repeat_num, cfg.conv_hidden_num, quant=qq,
+                chained=False)[0])(gen_params, e, po))
+            err = float(np.abs(g - gf).mean())
+            if drop is None:
+                base = err
+                print(f"  all-int8 (unchained) mean|err| = {err:.5f}")
+            else:
+                rows.append((base - err, drop))
+        rows.sort(reverse=True)
+        print("  top error contributors (bf16-fallback recovery):")
+        for rec, name in rows[:6]:
+            print(f"    {name:16s} {rec:+.5f}")
+
+
+if __name__ == "__main__":
+    if sys.argv[1] == "train":
+        train(int(sys.argv[2]),
+              sys.argv[3] if len(sys.argv) > 3 else "/tmp/q20k")
+    else:
+        check(sys.argv[2], per_layer="--per_layer" in sys.argv)

@@ -65,3 +65,33 @@ def test_stage1_generate_and_transfer():
                             jnp.asarray(batch["mask_r6"]), bbox, vis)
     assert out.shape == (cfg.batch_size, cfg.img_H, cfg.img_W, 3)
     assert float(jnp.min(out)) >= 0.0 and float(jnp.max(out)) <= 255.0
+
+
+def test_stage1_fast_gan_step_matches_g_update():
+    """--fast_gan_step only changes which fakes D trains on (pre- vs
+    post-update G); the G update itself must be IDENTICAL to parity mode,
+    and the step must remain finite/trainable."""
+    batch = next(SyntheticLoader(8, 32, 16, seed=3))
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    rng = jax.random.PRNGKey(4)
+
+    app_a = Stage1App(small_cfg())
+    app_b = Stage1App(small_cfg(fast_gan_step=True))
+    s0 = app_a.init_state(jax.random.PRNGKey(0))
+    sa, ma = app_a.train_step(s0, jb, rng)
+    s0b = app_b.init_state(jax.random.PRNGKey(0))
+    sb, mb = app_b.train_step(s0b, jb, rng)
+
+    # identical G params after the step
+    ga = jax.tree_util.tree_leaves(sa.g_params)
+    gb = jax.tree_util.tree_leaves(sb.g_params)
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)
+    # D trained on different fakes -> d_params differ (it DID update)
+    da = jax.tree_util.tree_leaves(sa.d_params)
+    db = jax.tree_util.tree_leaves(sb.d_params)
+    assert any(not np.allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+               for a, b in zip(da, db))
+    for k, v in mb.items():
+        assert np.isfinite(float(v)), (k, v)
