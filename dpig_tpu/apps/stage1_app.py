@@ -36,14 +36,18 @@ class Stage1App:
 
     def __init__(self, cfg: Config, fg_bg: bool = True):
         self.cfg = cfg
-        self.fg_bg = fg_bg
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         self.dtype = dtype
         is_256 = cfg.img_H >= 256
+        # The FgBg two-branch encoder exists only for the 128x64 Market
+        # family (trainer.py:573 vs trainer_256.py:118); normalize here so
+        # fg_bg=True at 256 can't select the wrong _encode signature.
+        fg_bg = fg_bg and not is_256
+        self.fg_bg = fg_bg
         enc_repeat = cfg.repeat_num + 1 if is_256 else cfg.repeat_num
         gen_repeat = cfg.repeat_num - 1 if is_256 else cfg.repeat_num
         roi_size = 64 if is_256 else 48
-        enc_cls = RoiEncoderFgBg if (fg_bg and not is_256) else RoiEncoder
+        enc_cls = RoiEncoderFgBg if fg_bg else RoiEncoder
         if cfg.remat:  # --remat covers the encoder too (bs256 training
             enc_cls = nn.remat(enc_cls)  # OOMs by ~58M with gen-only remat)
         self.encoder = enc_cls(

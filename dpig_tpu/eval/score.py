@@ -70,20 +70,27 @@ def score_stage1(model_dir: str, test_dir: str, masked: bool = False,
     return out
 
 
-def score_stage2(model_dir: str, test_dir: str,
+def score_stage2(model_dir: str, test_dir: str, masked: bool = False,
                  inception_pb: Optional[str] = None) -> dict:
     """Two-stage (PG2-style G1/G2) scoring: both generated trees vs
-    x_target in one invocation (score.py:115-223)."""
+    x_target in one invocation (score.py:115-223); --mask applies the
+    score_mask.py:176-282 protocol (uint8 mask/255 multiplication,
+    multichannel SSIM at data_range 255, masked IS)."""
     root = os.path.join(model_dir, test_dir)
     x_list = _load_dir(os.path.join(root, "x_target"))
+    masks = _load_dir(os.path.join(root, "mask")) if masked else None
     out = {}
     lines = [f"N: {len(x_list)}   "]
     for gen in ("G1", "G2"):
         g_list = _load_dir(os.path.join(root, gen))
         assert len(g_list) == len(x_list) and g_list, (
             f"need matching {gen}/ and x_target/ PNG dirs under {root}")
-        per = [metrics.score_pair_gray(g, x)
-               for g, x in zip(g_list, x_list)]
+        if masked:
+            per = [metrics.score_pair_masked(g, x, m)
+                   for g, x, m in zip(g_list, x_list, masks)]
+        else:
+            per = [metrics.score_pair_gray(g, x)
+                   for g, x in zip(g_list, x_list)]
         for k in ("ssim", "psnr", "l1", "l2"):
             vals = [p[k] for p in per]
             out[f"{k}_{gen}_x_mean"] = float(np.mean(vals))
@@ -91,11 +98,15 @@ def score_stage2(model_dir: str, test_dir: str,
             lines.append(f"{k}{gen}: {np.mean(vals):.5f} "
                          f"+- {np.std(vals):.5f}   ")
         if inception_pb:
+            is_input = ([metrics.apply_mask_uint8(g, m)
+                         for g, m in zip(g_list, masks)]
+                        if masked else g_list)
             is_mean, is_std = get_inception_score(
-                g_list, frozen_graph_logits_fn(inception_pb))
+                is_input, frozen_graph_logits_fn(inception_pb))
             out[f"IS_{gen}_mean"], out[f"IS_{gen}_std"] = is_mean, is_std
             lines.append(f"IS{gen}: {is_mean:.5f} +- {is_std:.5f}   ")
-    with open(os.path.join(root, "score.txt"), "w") as f:
+    score_name = "score_mask.txt" if masked else "score.txt"
+    with open(os.path.join(root, score_name), "w") as f:
         f.write("".join(lines).rstrip() + "\n")
     for k, v in out.items():
         print(f"{k}: {v:.6f}")
@@ -119,7 +130,8 @@ def main() -> None:
     if a.inception_pb is None and not a.no_is:
         a.inception_pb = ensure_inception_graph()
     if a.stage == 2:
-        score_stage2(a.model_dir, a.test_dir, inception_pb=a.inception_pb)
+        score_stage2(a.model_dir, a.test_dir, masked=a.mask,
+                     inception_pb=a.inception_pb)
     elif a.stage == 1:
         score_stage1(a.model_dir, a.test_dir, masked=a.mask,
                      inception_pb=a.inception_pb)

@@ -34,7 +34,8 @@ def train(steps: int, model_dir: str) -> None:
 
     cfg = Config(img_H=128, img_W=64, batch_size=64, compute_dtype="bfloat16",
                  model_dir=model_dir, max_step=steps, log_step=500,
-                 save_model_secs=600, synthetic_data=True)
+                 save_model_secs=600, synthetic_data=True,
+                 fast_gan_step=True)  # ~18% faster; gate only needs depth
     app = Stage1App(cfg)
     loader = SyntheticLoader(cfg.batch_size, cfg.img_H, cfg.img_W, seed=123)
     Trainer(cfg, app, loader).train()

@@ -76,3 +76,24 @@ def test_score_stage2_g1_g2(tmp_path, rng):
     assert out["l1_G2_x_mean"] == 0.0
     txt = (root / "score.txt").read_text()
     assert "ssimG1" in txt and "ssimG2" in txt
+
+
+def test_score_stage2_masked(tmp_path, rng):
+    """score_mask.py:138-282 two-stage masked branch: graded-mask uint8
+    multiplication, data_range 255, score_mask.txt output."""
+    from dpig_tpu.eval.score import score_stage2
+    root = tmp_path / "test_result"
+    for sub in ("G1", "G2", "x_target", "mask"):
+        os.makedirs(root / sub)
+    for i in range(4):
+        x = rng.integers(0, 255, (32, 16, 3), dtype=np.uint8)
+        g1 = np.clip(x + rng.integers(-30, 30, x.shape), 0, 255)
+        m = rng.integers(0, 256, (32, 16)).astype(np.uint8)
+        Image.fromarray(x).save(root / "x_target" / f"{i:05d}.png")
+        Image.fromarray(g1.astype(np.uint8)).save(root / "G1" / f"{i:05d}.png")
+        Image.fromarray(x).save(root / "G2" / f"{i:05d}.png")
+        Image.fromarray(m).save(root / "mask" / f"{i:05d}.png")
+    out = score_stage2(str(tmp_path), "test_result", masked=True)
+    assert 0 < out["ssim_G1_x_mean"] <= 1.0
+    assert out["ssim_G2_x_mean"] > 0.9999
+    assert os.path.exists(root / "score_mask.txt")
