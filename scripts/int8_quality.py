@@ -24,24 +24,46 @@ import sys
 import numpy as np
 
 
-def train(steps: int, model_dir: str) -> None:
+def train(steps: int, model_dir: str, pool_size: int = 64) -> None:
+    """Raw train loop for the gate: a device-resident pool of synthetic
+    batches cycled round-robin, metrics forced only every 200 steps — the
+    harness's per-step host roundtrips cap the lazy remote backend at
+    ~88 img/s where the step itself runs at ~226 (train_bench)."""
+    import time
     import jax
     import jax.numpy as jnp
     from dpig_tpu.apps.stage1_app import Stage1App
     from dpig_tpu.config import Config
     from dpig_tpu.data.synthetic import SyntheticLoader
-    from dpig_tpu.train.harness import Trainer
+    from dpig_tpu.train import checkpoint as ckpt
 
     cfg = Config(img_H=128, img_W=64, batch_size=64, compute_dtype="bfloat16",
-                 model_dir=model_dir, max_step=steps, log_step=500,
-                 save_model_secs=600, synthetic_data=True,
+                 model_dir=model_dir, max_step=steps,
                  fast_gan_step=True)  # ~18% faster; gate only needs depth
     app = Stage1App(cfg)
+    state = app.init_state(jax.random.PRNGKey(0))
     loader = SyntheticLoader(cfg.batch_size, cfg.img_H, cfg.img_W, seed=123)
-    Trainer(cfg, app, loader).train()
+    pool = [{k: jnp.asarray(v) for k, v in next(loader).items()}
+            for _ in range(pool_size)]
+    rng = jax.random.PRNGKey(1)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, m = app.train_step(state, pool[i % pool_size],
+                                  jax.random.fold_in(rng, i))
+        if i % 200 == 199 or i == steps - 1:
+            g = float(m["g_loss"])
+            assert np.isfinite(g), (i, m)
+            rate = (i + 1) * cfg.batch_size / (time.perf_counter() - t0)
+            print(f"[{i}] g_loss={g:.4f} "
+                  f"L1={float(m['L1Loss']):.4f} "
+                  f"d={float(m['d_loss']):.4f} {rate:.0f} img/s",
+                  flush=True)
+    ckpt.save_checkpoint(model_dir, steps, state)
+    print(f"[*] saved step-{steps} checkpoint under {model_dir}")
 
 
-def check(model_dir: str, per_layer: bool = False, n_batches: int = 4) -> None:
+def check(model_dir: str, per_layer: bool = False, n_batches: int = 4,
+          percentile=None) -> None:
     import jax
     import jax.numpy as jnp
     from dpig_tpu.apps.common import pose_maps_from_batch, select_parts
@@ -82,7 +104,8 @@ def check(model_dir: str, per_layer: bool = False, n_batches: int = 4) -> None:
 
     e0, p0, _ = embs_pose(batches[0])
     q = quant_mod.QuantizedGenerator(gen_params, cfg.repeat_num,
-                                     cfg.conv_hidden_num)
+                                     cfg.conv_hidden_num,
+                                     calib_percentile=percentile)
     q.calibrate([e0], [p0])
 
     ssim_if, d_float, d_int8 = [], [], []
@@ -133,4 +156,9 @@ if __name__ == "__main__":
         train(int(sys.argv[2]),
               sys.argv[3] if len(sys.argv) > 3 else "/tmp/q20k")
     else:
-        check(sys.argv[2], per_layer="--per_layer" in sys.argv)
+        pct = None
+        for a in sys.argv[3:]:
+            if a.startswith("--percentile="):
+                pct = float(a.split("=")[1])
+        check(sys.argv[2], per_layer="--per_layer" in sys.argv,
+              percentile=pct)
