@@ -82,10 +82,15 @@ def main() -> None:
     quant_tables = None
     if dtype == "int8":
         from dpig_tpu.models import quant as quant_mod
-        pose0 = render_pose_maps(pose_rcv, cfg.img_H, cfg.img_W,
+        # Calibration runs a full-precision forward with abs-max stat
+        # collection; its scales are batch-size independent, so cap the
+        # calibration batch — at 256x256 the f32 stats graph OOMs HBM at
+        # the full benchmark batch.
+        cb = min(batch_size, 64)
+        pose0 = render_pose_maps(pose_rcv[:cb], cfg.img_H, cfg.img_W,
                                  cfg.keypoint_num, radius=4, normalized=False)
         embs0 = jax.random.normal(jax.random.PRNGKey(9),
-                                  (batch_size, emb_dim)) * 0.2
+                                  (cb, emb_dim)) * 0.2
         q = quant_mod.QuantizedGenerator(gen_params, gen_repeat,
                                          cfg.conv_hidden_num)
         q.calibrate([embs0], [pose0])

@@ -47,13 +47,25 @@ def _feat(ex, name):
 
 def parse_example(record: bytes, img_h: int, img_w: int, part_num: int = 37,
                   keypoint_num: int = 18, mask_a: str = "pose_mask_r6",
-                  mask_b: str = "pose_mask_r4") -> Dict[str, np.ndarray]:
+                  mask_b: str = "pose_mask_r4",
+                  fields: str = "all") -> Dict[str, np.ndarray]:
     """One tfrecord Example -> numpy sample dict (un-batched).
 
     Uses the native single-pass wire parser (data/_native tfr_parse) when
     available — the pure-Python path spends ~70% of its time crossing the
     HxW int64 mask lists into numpy (measured 270 samples/s/core vs ~2k
-    native); falls back to the protobuf path bit-identically."""
+    native); falls back to the protobuf path bit-identically.
+
+    fields="pose_only" parses ONLY the pose keypoint coordinates and fills
+    images/masks/bboxes with zeros. Exact for the sampled-appearance
+    serving path (model 11 `--sample_app`): the generator consumes
+    mapper-sampled embeddings and on-device-rasterized pose maps, so the
+    encoder inputs are dead code XLA eliminates — decoding the JPEGs on
+    the host would burn the serving core for nothing (~4x loader speedup,
+    scripts/serving_demo.py)."""
+    if fields == "pose_only":
+        return _parse_pose_only(record, img_h, img_w, part_num,
+                                keypoint_num)
     native = _parse_example_native(record, img_h, img_w, part_num,
                                    keypoint_num, mask_a, mask_b)
     if native is not None:
@@ -84,6 +96,57 @@ def parse_example(record: bytes, img_h: int, img_w: int, part_num: int = 37,
             np.int32).reshape(part_num, 4)
         out[f"part_vis{tag}"] = np.asarray(
             _feat(ex, f"part_vis{suffix}").int64_list.value, np.int32)
+    return out
+
+
+_POSE_ONLY_ZEROS: Dict[tuple, tuple] = {}
+
+
+def _parse_pose_only(record: bytes, img_h: int, img_w: int,
+                     part_num: int, keypoint_num: int
+                     ) -> Dict[str, np.ndarray]:
+    """fields="pose_only" parse: real pose_rcv(+_target), zero fillers for
+    the image-branch keys (same dict schema, so jitted step signatures are
+    unchanged)."""
+    from . import _native
+    rcvs = {}
+    wanted = [(f"pose_peaks{s}_rcv", keypoint_num * 3) for s in ("_0", "_1")]
+    feats = None
+    try:
+        feats = _native.parse_example_features(record, wanted)
+    except IOError:
+        feats = None
+    if feats is not None:
+        for (name, cap) in wanted:
+            v = feats[name]
+            if not isinstance(v, np.ndarray) or v.size != cap:
+                feats = None
+                break
+            rcvs[name] = v.reshape(keypoint_num, 3)
+    if feats is None:  # no native lib / malformed: protobuf fallback
+        ex = pb.Example.FromString(record)
+        for s in ("_0", "_1"):
+            rcvs[f"pose_peaks{s}_rcv"] = np.asarray(
+                _feat(ex, f"pose_peaks{s}_rcv").float_list.value,
+                np.float32).reshape(keypoint_num, 3)
+    # shared read-only zero fillers (one allocation per shape per process —
+    # consumers treat loader output as immutable; jnp.asarray copies)
+    key = (img_h, img_w, part_num)
+    if key not in _POSE_ONLY_ZEROS:
+        _POSE_ONLY_ZEROS[key] = (
+            np.zeros((img_h, img_w, 3), np.float32),
+            np.zeros((img_h, img_w, 1), np.float32),
+            np.zeros((part_num, 4), np.int32),
+            np.zeros((part_num,), np.int32))
+    zero_img, zero_mask, zero_bbox, zero_vis = _POSE_ONLY_ZEROS[key]
+    out: Dict[str, np.ndarray] = {}
+    for suffix, tag in (("_0", ""), ("_1", "_target")):
+        out[f"x{tag}"] = zero_img
+        out[f"pose_rcv{tag}"] = rcvs[f"pose_peaks{suffix}_rcv"]
+        out[f"mask_r6{tag}"] = zero_mask
+        out[f"mask_r4{tag}"] = zero_mask
+        out[f"part_bbox{tag}"] = zero_bbox
+        out[f"part_vis{tag}"] = zero_vis
     return out
 
 
@@ -156,7 +219,8 @@ def iter_examples(shards: List[str], img_h: int, img_w: int,
                   mask_keys: Dict[str, str], part_num: int = 37,
                   repeat: bool = False,
                   num_workers: int = 0, stride: int = 1,
-                  offset: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+                  offset: int = 0,
+                  fields: str = "all") -> Iterator[Dict[str, np.ndarray]]:
     """Parsed-sample stream. num_workers > 0 parses/decodes on a thread
     pool with an ordered in-flight window, so the output ORDER is identical
     to the sequential path for any worker count (the reference pins test
@@ -172,7 +236,7 @@ def iter_examples(shards: List[str], img_h: int, img_w: int,
     def parse(rec):
         return parse_example(rec, img_h, img_w, part_num=part_num,
                              mask_a=mask_keys["mask_a"],
-                             mask_b=mask_keys["mask_b"])
+                             mask_b=mask_keys["mask_b"], fields=fields)
 
     if num_workers <= 0:
         for rec in records:
@@ -202,12 +266,14 @@ class TFRecordPairLoader:
                  shuffle: bool = True, seed: int = 0,
                  shuffle_buffer: int = 512,
                  host_id: int = 0, host_count: int = 1,
-                 num_workers: int = 0, prefetch_batches: int = 2):
+                 num_workers: int = 0, prefetch_batches: int = 2,
+                 fields: str = "all"):
         self.dataset_dir = dataset_dir
         self.batch_size = batch_size
         self.img_h, self.img_w = img_h, img_w
         self.mask_keys = MARKET_KEYS if "market" in dataset.lower() else DF_KEYS
         self.shuffle = shuffle
+        self._fields = fields
         self._rng = random.Random(seed)
         self._buffer: List[Dict[str, np.ndarray]] = []
         self._buffer_size = shuffle_buffer if shuffle else 0
@@ -247,7 +313,7 @@ class TFRecordPairLoader:
         self._it = iter_examples(shards, img_h, img_w, self.mask_keys,
                                  repeat=shuffle, num_workers=num_workers,
                                  stride=self._record_stride,
-                                 offset=self._record_offset)
+                                 offset=self._record_offset, fields=fields)
         # Batch prefetch: a daemon thread keeps `prefetch_batches` assembled
         # batches ahead so host decode overlaps device compute (the
         # reference's tf.train.batch queue runners, trainer.py:553-555).
@@ -294,7 +360,33 @@ class TFRecordPairLoader:
 
     def _assemble_batch(self) -> Dict[str, np.ndarray]:
         samples = [self._next_sample() for _ in range(self.batch_size)]
+        if self._fields == "pose_only":
+            # Stack only the live pose keys; the image-branch keys are
+            # all-zero fillers — share one cached zero BATCH instead of
+            # re-copying ~70 MB of zeros per batch (~9x assembly speedup).
+            out = dict(self._pose_only_zero_batch(len(samples)))
+            for k in ("pose_rcv", "pose_rcv_target"):
+                out[k] = np.stack([s[k] for s in samples])
+            return out
         return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+    def _pose_only_zero_batch(self, b: int) -> Dict[str, np.ndarray]:
+        zb = getattr(self, "_zb", None)
+        if zb is None or zb["x"].shape[0] != b:
+            h, w = self.img_h, self.img_w
+            zi = np.zeros((b, h, w, 3), np.float32)
+            zm = np.zeros((b, h, w, 1), np.float32)
+            zbx = np.zeros((b, 37, 4), np.int32)
+            zv = np.zeros((b, 37), np.int32)
+            zb = {}
+            for tag in ("", "_target"):
+                zb[f"x{tag}"] = zi
+                zb[f"mask_r6{tag}"] = zm
+                zb[f"mask_r4{tag}"] = zm
+                zb[f"part_bbox{tag}"] = zbx
+                zb[f"part_vis{tag}"] = zv
+            self._zb = zb
+        return zb
 
     def __iter__(self):
         return self

@@ -69,7 +69,7 @@ def build(n_samples: int = 25600, shard_size: int = 6400) -> None:
 
 
 def serve(batch_size: int = 256, n_batches: int = 40,
-          num_workers: int = 0) -> None:
+          num_workers: int = 0, fields: str = "all") -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     import jax
@@ -83,10 +83,10 @@ def serve(batch_size: int = 256, n_batches: int = 40,
                  sample_app=True, model_dir="/tmp/serving_model")
     t = testers.FullSamplingTester(cfg)
 
-    def make_loader():
+    def make_loader(f=fields):
         return TFRecordPairLoader(OUT_DIR, "test", batch_size, H, W,
                                   dataset="market", shuffle=False,
-                                  num_workers=num_workers)
+                                  num_workers=num_workers, fields=f)
 
     # (a) loader-only throughput
     loader = make_loader()
@@ -97,14 +97,29 @@ def serve(batch_size: int = 256, n_batches: int = 40,
         next(loader)
     loader_rate = probe * batch_size / (time.perf_counter() - t0)
 
-    # (b) end-to-end: loader feeds the jitted int8 sampling step
+    # (b) end-to-end: loader feeds the jitted int8 sampling step.
+    # int8 calibration always sees one REAL decoded batch (pose_only
+    # zero-fills the image branch; its encoder path is dead code at
+    # inference but calibration must not run on zeros).
     loader = make_loader()
-    first = next(loader)
+    first = next(make_loader("all")) if fields != "all" else next(loader)
     params = t._inference_params(first)
+    if fields != "all":
+        first = next(loader)
     rng = jax.random.PRNGKey(0)
     jb = {k: jnp.asarray(v) for k, v in first.items()}
     out = t.sample_step(params, jb, rng, "real")  # compile
     np.asarray(out[0][0, 0, 0])
+
+    # pose_only serving ships ONLY the pose coordinates per batch (54
+    # floats/sample) and reuses device-resident zero buffers for the
+    # dead image-branch keys — the whole point of on-device pose
+    # rasterization (ops/pose.py docstring). fields=all ships the full
+    # decoded batch, as a scoring tester must.
+    static_dev = None
+    if fields == "pose_only":
+        static_dev = {k: jax.device_put(jnp.asarray(v))
+                      for k, v in first.items() if k != "pose_rcv"}
 
     host_busy = 0.0
     t0 = time.perf_counter()
@@ -116,7 +131,10 @@ def serve(batch_size: int = 256, n_batches: int = 40,
             b = next(loader)
         except StopIteration:
             break
-        jb = {k: jnp.asarray(v) for k, v in b.items()}
+        if static_dev is not None:
+            jb = dict(static_dev, pose_rcv=jnp.asarray(b["pose_rcv"]))
+        else:
+            jb = {k: jnp.asarray(v) for k, v in b.items()}
         host_busy += time.perf_counter() - h0
         rng, sub = jax.random.split(rng)
         if pending is not None:
@@ -128,7 +146,7 @@ def serve(batch_size: int = 256, n_batches: int = 40,
     dt = time.perf_counter() - t0
     e2e_rate = done * batch_size / dt
     print(f"loader-only: {loader_rate:.0f} img/s "
-          f"(num_workers={num_workers})")
+          f"(num_workers={num_workers}, fields={fields})")
     print(f"end-to-end:  {e2e_rate:.0f} img/s over {done} batches of "
           f"{batch_size} (host busy {100 * host_busy / dt:.0f}% of wall)")
     print(f"device demand at 4400 img/s vs loader supply: "
@@ -142,6 +160,7 @@ if __name__ == "__main__":
     elif cmd == "serve":
         serve(int(sys.argv[2]) if len(sys.argv) > 2 else 256,
               int(sys.argv[3]) if len(sys.argv) > 3 else 40,
-              int(sys.argv[4]) if len(sys.argv) > 4 else 0)
+              int(sys.argv[4]) if len(sys.argv) > 4 else 0,
+              sys.argv[5] if len(sys.argv) > 5 else "all")
     else:
         raise SystemExit("build|serve")

@@ -118,6 +118,47 @@ def test_pair_loader_batches(tmp_path, rng):
     np.testing.assert_array_equal(batch["x"], next(loader2)["x"])
 
 
+def test_pair_loader_pose_only(tmp_path, rng):
+    """fields='pose_only' yields the SAME pose_rcv stream as the full
+    parse (native and protobuf paths), same dict schema, zero fillers
+    for the image branch."""
+    from dpig_tpu.data import _native
+    from dpig_tpu.data.loader import TFRecordPairLoader
+    h, w = 32, 16
+    path = str(tmp_path / "Market1501_test_00000.tfrecord")
+    with tfrecord.TFRecordWriter(path) as wr:
+        for _ in range(8):
+            wr.write(make_example(rng, h, w))
+
+    def batches(fields):
+        loader = TFRecordPairLoader(str(tmp_path), "test", batch_size=4,
+                                    img_h=h, img_w=w, dataset="market",
+                                    shuffle=False, fields=fields)
+        return next(loader)
+
+    full, pose = batches("all"), batches("pose_only")
+    assert set(pose) == set(full)
+    for tag in ("", "_target"):
+        np.testing.assert_array_equal(pose[f"pose_rcv{tag}"],
+                                      full[f"pose_rcv{tag}"])
+        assert pose[f"x{tag}"].shape == full[f"x{tag}"].shape
+        assert not pose[f"x{tag}"].any()
+        assert not pose[f"part_bbox{tag}"].any()
+
+    if _native.get_lib() is not None:  # protobuf fallback agrees
+        from dpig_tpu.data import loader as loader_mod
+        rec = make_example(rng, h, w)
+        native = loader_mod._parse_pose_only(rec, h, w, 37, 18)
+        orig = _native.get_lib
+        _native.get_lib = lambda: None
+        try:
+            fallback = loader_mod._parse_pose_only(rec, h, w, 37, 18)
+        finally:
+            _native.get_lib = orig
+        np.testing.assert_array_equal(native["pose_rcv"],
+                                      fallback["pose_rcv"])
+
+
 def test_native_scanner_matches_python(tmp_path, rng):
     from dpig_tpu.data import _native
     if _native.get_lib() is None:
