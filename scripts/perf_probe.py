@@ -187,7 +187,7 @@ def probe_oracle(batch):
 
     ch = HIDDEN
     fg_dim, bg_dim = 7 * 32, 32 * 4
-    params, quant_tables = _synthetic_generator_tables()
+    params, quant_tables, _, _ = _synthetic_generator_tables()
 
     embs = jnp.zeros((batch, fg_dim + bg_dim), jnp.float32)
     pose = jnp.zeros((batch, 128, 64, 18), jnp.float32)
@@ -202,7 +202,7 @@ def probe_oracle(batch):
     _cycles_table(txt)
 
 
-def _synthetic_generator_tables():
+def _synthetic_generator_tables(h=128, w=64):
     """Random generator params + quant tables at the bench config, built
     host-side (no TPU needed for compile-only probes)."""
     from dpig_tpu.apps.stage1_app import Stage1App
@@ -210,22 +210,61 @@ def _synthetic_generator_tables():
     from dpig_tpu.models import quant as quant_mod
     from dpig_tpu.ops.pose import render_pose_maps
 
-    cfg = Config(img_H=128, img_W=64, batch_size=8,
+    cfg = Config(img_H=h, img_W=w, batch_size=8,
                  compute_dtype="bfloat16", model_dir="/tmp/bench")
     app = Stage1App(cfg)
     state = app.init_state(jax.random.PRNGKey(0))
     gen_params = state.g_params["ID_AE"]
+    gen_repeat = cfg.repeat_num - 1 if h >= 256 else cfg.repeat_num
+    emb_dim = gen_params["stem_kernel"].shape[2] - cfg.keypoint_num
     pose0 = render_pose_maps(
         jnp.concatenate([
-            jax.random.uniform(jax.random.PRNGKey(0), (8, 18, 1)) * 127,
-            jax.random.uniform(jax.random.PRNGKey(1), (8, 18, 1)) * 63,
+            jax.random.uniform(jax.random.PRNGKey(0), (8, 18, 1)) * (h - 1),
+            jax.random.uniform(jax.random.PRNGKey(1), (8, 18, 1)) * (w - 1),
             jnp.ones((8, 18, 1))], -1),
-        128, 64, 18, radius=4, normalized=False)
-    embs0 = jax.random.normal(jax.random.PRNGKey(9), (8, 7 * 32 + 32 * 4)) * 0.2
-    q = quant_mod.QuantizedGenerator(gen_params, cfg.repeat_num,
+        h, w, 18, radius=4, normalized=False)
+    embs0 = jax.random.normal(jax.random.PRNGKey(9), (8, emb_dim)) * 0.2
+    q = quant_mod.QuantizedGenerator(gen_params, gen_repeat,
                                      cfg.conv_hidden_num)
     q.calibrate([embs0], [pose0])
-    return gen_params, q.quant
+    return gen_params, q.quant, gen_repeat, emb_dim
+
+
+def probe_oracle_df(batch):
+    """Compile the full 256x256 int8 generator (bench `df` mode: model-1002
+    shape, repeat-1 generator, trainer_256.py:597-614) and dump the
+    estimated_cycles table + a conv-emitter histogram — verifies the
+    layout pin still lands the fast EmitAllBatchInSublanes emitter at
+    256x256 shapes and bounds the df path's conv floor."""
+    import re
+    from dpig_tpu.models import quant as quant_mod
+
+    params, quant_tables, gen_repeat, emb_dim = \
+        _synthetic_generator_tables(256, 256)
+    embs = jnp.zeros((batch, emb_dim), jnp.float32)
+    pose = jnp.zeros((batch, 256, 256, 18), jnp.float32)
+
+    def fwd(params, quant_tables, embs, pose):
+        out, z = quant_mod.uae_forward(params, embs, pose, gen_repeat,
+                                       HIDDEN, quant=quant_tables)
+        return out
+
+    txt = jax.jit(fwd).lower(params, quant_tables, embs, pose) \
+        .compile().as_text()
+    rows = _cycles_table(txt, min_us=50.0)
+    per_emitter = {}
+    for line in txt.splitlines():
+        m = re.search(r'"estimated_cycles":"(\d+)"', line)
+        e = re.search(r'"emitter":"(\w+)"', line)
+        if m and e:
+            per_emitter.setdefault(e.group(1), [0, 0])
+            per_emitter[e.group(1)][0] += int(m.group(1))
+            per_emitter[e.group(1)][1] += 1
+    total_ms = sum(r[1] for r in rows) / 1.5e6
+    print(f"conv emitters (cycles summed): "
+          f"{ {k: (v[0] / 1.5e6, v[1]) for k, v in per_emitter.items()} }")
+    print(f"oracle total {total_ms:.2f} ms/batch{batch} => "
+          f"{batch / total_ms * 1e3:.0f} img/s ceiling-est")
 
 
 def probe_oracle_conv(batch):
@@ -372,6 +411,8 @@ def main():
         probe_oracle_conv(batch)
     elif probe == "oracle_shapes":
         probe_oracle_shapes(batch)
+    elif probe == "oracle_df":
+        probe_oracle_df(batch)
     else:
         raise SystemExit(f"unknown probe {probe}")
 
