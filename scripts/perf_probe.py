@@ -267,6 +267,82 @@ def probe_oracle_df(batch):
           f"{batch / total_ms * 1e3:.0f} img/s ceiling-est")
 
 
+def probe_oracle_transfer(batch):
+    """Compile the int8 pose-transfer body (model-12 path: int8 FgBg
+    encoder + int8 generator, bench.py bench_transfer) and dump the
+    estimated_cycles table + conv-emitter histogram — locates the
+    encoder's share of the 2,060 img/s transfer path."""
+    import re
+    from dpig_tpu.apps.common import select_parts
+    from dpig_tpu.apps.stage1_app import Stage1App
+    from dpig_tpu.config import Config
+    from dpig_tpu.data.synthetic import synthetic_batch
+    from dpig_tpu.models import quant as quant_mod
+    from dpig_tpu.ops.pose import render_pose_maps
+
+    cfg = Config(img_H=128, img_W=64, batch_size=8,
+                 compute_dtype="bfloat16", model_dir="/tmp/bench")
+    app = Stage1App(cfg)
+    state = app.init_state(jax.random.PRNGKey(0))
+    enc_params = state.g_params["Encoder"]
+    gen_params = state.g_params["ID_AE"]
+
+    b = synthetic_batch(np.random.default_rng(0), 8, 128, 64)
+    x = jnp.asarray(b["x"])
+    mask = jnp.asarray(b["mask_r6"])
+    bbox, vis = select_parts(jnp.asarray(b["part_bbox"]),
+                             jnp.asarray(b["part_vis"]), cfg.roi_part_num)
+    pose_t = render_pose_maps(jnp.asarray(b["pose_rcv_target"]), 128, 64,
+                              18, radius=4, normalized=False)
+    qe = quant_mod.QuantizedEncoder(enc_params, REPEAT, HIDDEN)
+    qe.calibrate([(x, mask, bbox, vis)])
+    embs0 = jax.jit(lambda p, x, m, bb, vv: quant_mod.roi_fgbg_forward(
+        p, x, m, bb, vv, REPEAT, HIDDEN))(enc_params, x, mask, bbox, vis)
+    qg = quant_mod.QuantizedGenerator(gen_params, REPEAT, HIDDEN)
+    qg.calibrate([embs0], [pose_t])
+
+    B = batch
+    xb = jnp.zeros((B, 128, 64, 3), jnp.float32)
+    mb = jnp.zeros((B, 128, 64, 1), jnp.float32)
+    bb = jnp.zeros((B,) + bbox.shape[1:], bbox.dtype)
+    vb = jnp.zeros((B,) + vis.shape[1:], vis.dtype)
+    pb_ = jnp.zeros((B, 128, 64, 18), jnp.float32)
+
+    def enc_only(enc_params, eq, x, m, bb, vv):
+        return quant_mod.roi_fgbg_forward(enc_params, x, m, bb, vv,
+                                          REPEAT, HIDDEN, quant=eq)
+
+    def full(enc_params, gen_params, eq, gq, x, m, bb, vv, pose):
+        embs = quant_mod.roi_fgbg_forward(enc_params, x, m, bb, vv,
+                                          REPEAT, HIDDEN, quant=eq)
+        out, _ = quant_mod.uae_forward(gen_params, embs, pose, REPEAT,
+                                       HIDDEN, quant=gq)
+        return out
+
+    for label, fn, args in (
+            ("encoder-only", enc_only,
+             (enc_params, qe.quant, xb, mb, bb, vb)),
+            ("full transfer", full,
+             (enc_params, gen_params, qe.quant, qg.quant, xb, mb, bb, vb,
+              pb_))):
+        txt = jax.jit(fn).lower(*args).compile().as_text()
+        print(f"== {label} (bs{B})")
+        rows = _cycles_table(txt, min_us=200.0)
+        per_emitter = {}
+        for line in txt.splitlines():
+            m = re.search(r'"estimated_cycles":"(\d+)"', line)
+            e = re.search(r'"emitter":"(\w+)"', line)
+            if m and e:
+                per_emitter.setdefault(e.group(1), [0, 0])
+                per_emitter[e.group(1)][0] += int(m.group(1))
+                per_emitter[e.group(1)][1] += 1
+        total_ms = sum(r[1] for r in rows) / 1.5e6
+        print(f"  conv emitters (ms, n): "
+              f"{ {k: (round(v[0] / 1.5e6, 2), v[1]) for k, v in per_emitter.items()} }")
+        print(f"  oracle total {total_ms:.2f} ms/bs{B} => "
+              f"{B / total_ms * 1e3:.0f} img/s est", flush=True)
+
+
 def probe_oracle_conv(batch):
     """estimated_cycles for single-conv layout/shape variants — the enc0
     (Ci=Co=128 @128x64) emitter-tax experiments."""
@@ -413,6 +489,8 @@ def main():
         probe_oracle_shapes(batch)
     elif probe == "oracle_df":
         probe_oracle_df(batch)
+    elif probe == "oracle_transfer":
+        probe_oracle_transfer(batch)
     else:
         raise SystemExit(f"unknown probe {probe}")
 
