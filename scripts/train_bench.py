@@ -34,6 +34,10 @@ def main() -> None:
     flags = sys.argv[3].split(",") if len(sys.argv) > 3 else []
     fast = "fast" in flags
     remat = "remat" in flags
+    # res256: DF Stage-I config (model 101, 256x256, run_DF_train.sh:20-30;
+    # reference trains it at batch 6). The GOP/roofline model below is
+    # derived for the 128x64 tower shapes only, so 256 reports raw img/s.
+    h, w = (256, 256) if "res256" in flags else (128, 64)
 
     # conv GOP per image (scripts/perf_probe.py flops + encoder/D tallies)
     G_FWD_GOP = 72.9 + 59.0
@@ -44,12 +48,12 @@ def main() -> None:
     PEAK_TOPS = 197.0
 
     for bs in sizes:
-        cfg = Config(img_H=128, img_W=64, batch_size=bs,
+        cfg = Config(img_H=h, img_W=w, batch_size=bs,
                      compute_dtype="bfloat16", fast_gan_step=fast,
                      remat=remat, model_dir="/tmp/train_bench")
         app = Stage1App(cfg)
         state = app.init_state(jax.random.PRNGKey(0))
-        b = synthetic_batch(np.random.default_rng(0), bs, 128, 64)
+        b = synthetic_batch(np.random.default_rng(0), bs, h, w)
         jb = {k: jnp.asarray(v) for k, v in b.items()}
         rng = jax.random.PRNGKey(1)
         state, m = app.train_step(state, jb, rng)  # compile
@@ -60,6 +64,10 @@ def main() -> None:
         np.asarray(m["g_loss"])
         dt = (time.perf_counter() - t0) / steps
         rate = bs / dt
+        if (h, w) != (128, 64):
+            print(f"bs{bs:4d} {h}x{w} fast={fast} remat={remat}: "
+                  f"{dt*1e3:7.1f} ms/step  {rate:7.1f} img/s", flush=True)
+            continue
         floor_ms = bs * per_img_gop / PEAK_TOPS  # GOP/TOPS = ms per 1e3 img
         print(f"bs{bs:4d} fast={fast} remat={remat}: {dt*1e3:7.1f} ms/step  "
               f"{rate:7.1f} img/s  conv-roofline {floor_ms:6.1f} ms "
