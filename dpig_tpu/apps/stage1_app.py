@@ -47,17 +47,22 @@ class Stage1App:
         enc_repeat = cfg.repeat_num + 1 if is_256 else cfg.repeat_num
         gen_repeat = cfg.repeat_num - 1 if is_256 else cfg.repeat_num
         roi_size = 64 if is_256 else 48
+        act = nn.relu
+        if cfg.train_pin_layouts:
+            from ..models.quant import _pin_layout
+            act = lambda t: _pin_layout(nn.relu(t))  # noqa: E731
+        self._act = act
         enc_cls = RoiEncoderFgBg if fg_bg else RoiEncoder
         if cfg.remat:  # --remat covers the encoder too (bs256 training
             enc_cls = nn.remat(enc_cls)  # OOMs by ~58M with gen-only remat)
         self.encoder = enc_cls(
             part_num=cfg.roi_part_num, z_num=cfg.roi_z_num,
             repeat_num=enc_repeat, hidden_num=cfg.conv_hidden_num,
-            roi_size=roi_size, activation=nn.relu, dtype=dtype)
+            roi_size=roi_size, activation=act, dtype=dtype)
         gen_cls = nn.remat(UAEGenerator) if cfg.remat else UAEGenerator
         self.generator = gen_cls(
             out_channels=3, z_num=cfg.z_num, repeat_num=gen_repeat,
-            hidden_num=cfg.conv_hidden_num, activation=nn.relu, dtype=dtype)
+            hidden_num=cfg.conv_hidden_num, activation=act, dtype=dtype)
         self.disc = get_discriminator(cfg.D_arch, n_stages=5 if is_256 else 4,
                                       mode=GAN_MODE, dtype=dtype)
 

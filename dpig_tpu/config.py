@@ -117,6 +117,17 @@ class Config:
     # generator+encoder forward less per step (~17% on the v5e), with
     # slightly different (standard simultaneous-GAN) dynamics.
     fast_gan_step: bool = False
+    # EXPERIMENTAL: pin every post-activation tensor in the Stage-I train
+    # graph to the fast conv layout (batch-in-sublanes, models/quant.py
+    # _pin_layout; exact — a TPU-only identity op, no-op on CPU). The
+    # compile-time oracle (scripts/perf_probe.py oracle_train) says the
+    # pin moves ~90 ms of estimated fwd/dgrad conv time off the slow
+    # EmitInputBatchInLanes emitter (conv-estimate sum 373 -> 346 ms at
+    # bs128 fast); the one wall-clock A/B so far was inconclusive (ran
+    # during a degraded-then-down TPU window: pinned 306 vs unpinned 304
+    # img/s, both far below the 383 recorded on a healthy chip). Default
+    # stays False until a clean A/B decides it.
+    train_pin_layouts: bool = False
     demo_img_dir: Optional[str] = None  # test_one_by_one inputs
     demo_pair_path: Optional[str] = None
     demo_all_peaks_path: Optional[str] = None

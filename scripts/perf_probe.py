@@ -470,6 +470,105 @@ def probe_oracle_shapes(batch):
     rowfold(128, 64, 128, 128)   # enc0 via 1x3 Ci=384
 
 
+def probe_oracle_train(batch):
+    """Compile the FULL Stage-I jitted G+D train step (bf16, Market
+    128x64, trainer.py:326-366 anchor) and bucket estimated_cycles into
+    conv categories (fwd / input-grad / weight-grad, split by dim_labels
+    + lhs_dilation) vs everything else — locates the gap between the
+    measured step time and the analytic conv roofline in train_bench.py.
+
+    Conv estimates match measured trace times at 1.5 GHz (CLAUDE.md);
+    memory-op estimates are 3-6x pessimistic, so the non-conv bucket is
+    an upper bound and `measured - conv_sum` is the honest residual.
+
+    usage: perf_probe.py oracle_train [batch] [fast|parity[,remat][,pin]]
+    """
+    import re
+    import numpy as np
+    from dpig_tpu.apps.stage1_app import Stage1App
+    from dpig_tpu.config import Config
+    from dpig_tpu.data.synthetic import synthetic_batch
+
+    flags = sys.argv[3].split(",") if len(sys.argv) > 3 else ["fast"]
+    fast = "parity" not in flags
+    cfg = Config(img_H=128, img_W=64, batch_size=batch,
+                 compute_dtype="bfloat16", fast_gan_step=fast,
+                 remat="remat" in flags, train_pin_layouts="pin" in flags,
+                 model_dir="/tmp/oracle_train")
+    app = Stage1App(cfg)
+    state = app.init_state(jax.random.PRNGKey(0))
+    b = synthetic_batch(np.random.default_rng(0), batch, 128, 64)
+    jb = {k: jnp.asarray(v) for k, v in b.items()}
+    lowered = app.train_step.lower(app, state, jb, jax.random.PRNGKey(1))
+    txt = lowered.compile().as_text()
+
+    # fused_computation body -> (has_conv, window, dim_labels)
+    conv_info = {}
+    cur = None
+    for line in txt.splitlines():
+        m = re.match(r"%?(\S*fused_computation[\w\.\-]*)\s*\(", line)
+        if m:
+            cur = m.group(1)
+            continue
+        if cur and " convolution(" in line:
+            w = re.search(r"window=\{([^}]*)\}", line)
+            d = re.search(r"dim_labels=(\S+?)[,\s]", line)
+            conv_info[cur] = (w.group(1) if w else "",
+                              d.group(1) if d else "")
+
+    def conv_category(window, labels):
+        # fwd: b01f_01io->b01f ; dgrad: lhs-dilated (stride-2 fwd) or
+        # kernel-reversed b01f_01io ; wgrad: batch is the contracting dim
+        # => labels like f01b_i01o->01bf
+        if labels.startswith("f") or "->01" in labels:
+            return "wgrad"
+        if "lhs_dilate" in window or "rhs_reversal" in window:
+            return "dgrad"
+        return "fwd_or_dgrad1"  # stride-1 dgrad is shape-identical to fwd
+
+    buckets = {}
+    emitters = {}
+    other_rows = []
+    total_cyc = 0
+    for line in txt.splitlines():
+        m = re.search(r'"estimated_cycles":"?(\d+)"?', line)
+        if not m:
+            continue
+        cyc = int(m.group(1))
+        total_cyc += cyc
+        call = re.search(r"calls=%?([\w\.\-]+)", line)
+        body = call.group(1) if call else None
+        em = re.search(r'"emitter":"(\w+)"', line)
+        if body in conv_info or em:
+            window, labels = conv_info.get(body, ("", ""))
+            cat = conv_category(window, labels)
+            buckets[cat] = buckets.get(cat, 0) + cyc
+            if em:
+                key = (cat, em.group(1))
+                emitters[key] = emitters.get(key, [0, 0])
+                emitters[key][0] += cyc
+                emitters[key][1] += 1
+        else:
+            nm = re.search(r"%?([\w\.\-]+)\s*=", line)
+            other_rows.append((cyc, nm.group(1) if nm else "?"))
+
+    ms = 1.5e6  # cycles per ms at 1.5 GHz
+    conv_cyc = sum(buckets.values())
+    print(f"mode={'fast' if fast else 'parity'} bs{batch} "
+          f"remat={cfg.remat}")
+    print(f"total estimated {total_cyc/ms:.1f} ms  "
+          f"(convs {conv_cyc/ms:.1f} ms, other {(total_cyc-conv_cyc)/ms:.1f}"
+          f" ms -- other is 3-6x pessimistic, see docstring)")
+    for cat, cyc in sorted(buckets.items(), key=lambda kv: -kv[1]):
+        print(f"  conv[{cat}]: {cyc/ms:7.2f} ms")
+    for (cat, em), (cyc, n) in sorted(emitters.items(), key=lambda kv: -kv[1][0]):
+        print(f"    {cat:14s} {em:28s} {cyc/ms:7.2f} ms  x{n}")
+    other_rows.sort(key=lambda r: -r[0])
+    print("  top non-conv fusions (pessimistic estimates):")
+    for cyc, name in other_rows[:25]:
+        print(f"    {cyc/ms:7.3f} ms  {name}")
+
+
 def main():
     probe = sys.argv[1]
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 256
@@ -491,6 +590,8 @@ def main():
         probe_oracle_df(batch)
     elif probe == "oracle_transfer":
         probe_oracle_transfer(batch)
+    elif probe == "oracle_train":
+        probe_oracle_train(batch)
     else:
         raise SystemExit(f"unknown probe {probe}")
 

@@ -50,7 +50,8 @@ def main() -> None:
     for bs in sizes:
         cfg = Config(img_H=h, img_W=w, batch_size=bs,
                      compute_dtype="bfloat16", fast_gan_step=fast,
-                     remat=remat, model_dir="/tmp/train_bench")
+                     remat=remat, train_pin_layouts="pin" in flags,
+                     model_dir="/tmp/train_bench")
         app = Stage1App(cfg)
         state = app.init_state(jax.random.PRNGKey(0))
         b = synthetic_batch(np.random.default_rng(0), bs, h, w)
