@@ -36,6 +36,9 @@ def score_stage1(model_dir: str, test_dir: str, masked: bool = False,
     assert len(g_list) == len(x_list) and g_list, (
         f"need matching G/ and x_target/ PNG dirs under {root}")
     masks = _load_dir(os.path.join(root, "mask")) if masked else None
+    if masked:
+        assert len(masks) == len(g_list), (
+            f"mask/ has {len(masks)} images but G/ has {len(g_list)}")
 
     per = []
     for i, (g, x) in enumerate(zip(g_list, x_list)):
@@ -79,6 +82,9 @@ def score_stage2(model_dir: str, test_dir: str, masked: bool = False,
     root = os.path.join(model_dir, test_dir)
     x_list = _load_dir(os.path.join(root, "x_target"))
     masks = _load_dir(os.path.join(root, "mask")) if masked else None
+    if masked:
+        assert len(masks) == len(x_list), (
+            f"mask/ has {len(masks)} images but x_target/ has {len(x_list)}")
     out = {}
     lines = [f"N: {len(x_list)}   "]
     for gen in ("G1", "G2"):
