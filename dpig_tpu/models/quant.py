@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import wino
-from ..ops.image import upscale_nn, upscale_nn_concat
+from ..ops.image import upscale_nn
 from .generator import _constant_input_stem
 
 _REL = jax.nn.relu
