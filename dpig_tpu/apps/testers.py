@@ -124,9 +124,12 @@ class _TesterBase:
         gen_repeat = (self.cfg.repeat_num - 1 if self.cfg.img_H >= 256
                       else self.cfg.repeat_num)
         if "_quant_gen" in params:
+            # a selective bf16 fallback routes through the legacy
+            # per-layer-quant graph (QuantizedGenerator docstring)
             g_raw, _ = quant_mod.uae_forward(
                 params["ID_AE"], embs, pose_maps, gen_repeat,
-                self.cfg.conv_hidden_num, quant=params["_quant_gen"])
+                self.cfg.conv_hidden_num, quant=params["_quant_gen"],
+                chained=not getattr(self.cfg, "int8_fallback_layers", ""))
             return g_raw.astype(jnp.float32)
         if self.stage1.dtype == jnp.bfloat16:
             # layout-pinned bf16 raw-param forward: same math as the flax
@@ -168,8 +171,12 @@ class _TesterBase:
         pose = render_pose_maps(jb["pose_rcv"], cfg.img_H, cfg.img_W,
                                 cfg.keypoint_num, radius=4, normalized=False)
         gen_repeat = cfg.repeat_num - 1 if is_256 else cfg.repeat_num
+        fallback = frozenset(
+            n.strip() for n in
+            getattr(cfg, "int8_fallback_layers", "").split(",") if n.strip())
         qg = quant_mod.QuantizedGenerator(params["ID_AE"], gen_repeat,
-                                          cfg.conv_hidden_num)
+                                          cfg.conv_hidden_num,
+                                          bf16_layers=fallback)
         # When this tester will feed Gaussian-mapper-SAMPLED embeddings
         # (sample_app/sample_fg/sample_bg), calibrate on a sampled batch
         # too: sampled embeddings can exceed the encoder-derived absmax

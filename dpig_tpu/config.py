@@ -104,6 +104,11 @@ class Config:
     # (models/quant.py), calibrated on the first test batch — the
     # production serving path (~2.3x bf16 on the v5e, SSIM delta ~1e-4).
     inference_dtype: str = "bf16"       # 'bf16' | 'int8'
+    # Comma-separated generator layers to keep in exact bf16 inside the
+    # int8 graph ('enc/Conv_0'..'dec/Conv_13','to_rgb') — a selective
+    # quality fallback; rank candidates with scripts/int8_quality.py
+    # check --per_layer. Ignored unless inference_dtype=int8.
+    int8_fallback_layers: str = ""
     # Model-11 pose selection override. '' derives from --sample_pose:
     # False -> 'real', True -> 'reconstructed' (the reference quirk:
     # tester.py:93-95/341-343 decodes the AE embedding of the real pose,

@@ -249,11 +249,23 @@ def _uae_forward_int8(params, embs, pose, repeat_num: int, hidden_num: int,
         out_scale given  -> returns s8 quantized at out_scale.
         out_scale None   -> returns bf16.
         res8/res_scale   -> adds the dequantized residual after the ReLU.
+
+        A layer absent from the weight table (QuantizedGenerator
+        `bf16_layers` fallback) dequantizes its s8 input and runs the
+        exact bf16 conv instead — removing that layer's weight-quant and
+        accumulation rounding while keeping the s8 chaining around it.
         """
-        w8, w_scale = W[name]
-        acc = _qconv_raw(q8, w8, stride)
-        y = (acc.astype(jnp.float32) * (s[name] * w_scale)
-             + tree["bias"].astype(jnp.float32))
+        if name not in W:  # selective bf16 fallback
+            x_bf = _pin_layout((q8.astype(jnp.float32) * s[name])
+                               .astype(jnp.bfloat16))
+            y = _conv(x_bf, tree["kernel"].astype(jnp.bfloat16),
+                      stride=stride).astype(jnp.float32) \
+                + tree["bias"].astype(jnp.float32)
+        else:
+            w8, w_scale = W[name]
+            acc = _qconv_raw(q8, w8, stride)
+            y = (acc.astype(jnp.float32) * (s[name] * w_scale)
+                 + tree["bias"].astype(jnp.float32))
         if relu:
             y = _REL(y)
         if res8 is not None:
@@ -465,16 +477,32 @@ class QuantizedGenerator:
 
     wino_layers: layer names (e.g. 'dec/Conv_6') to run through the
     F(2x2,3x3) transform-domain int8 path instead of direct int8 conv.
+    bf16_layers: layer names ('enc/Conv_0' … 'dec/Conv_13', 'to_rgb') to
+    run as exact bf16 convs inside the otherwise-int8 graph — a selective
+    quality fallback for the most error-contributing layers (rank them
+    with `scripts/int8_quality.py check --per_layer`). Implemented by
+    omitting the layer from the weight table. A non-empty fallback set
+    routes __call__ through the LEGACY per-layer-quant graph (bf16
+    inter-layer tensors), where a fallback layer skips input, weight,
+    and output rounding entirely — measured on a random net the
+    decoder-tail fallback halves mean|err| vs float and an all-layers
+    fallback reaches the bf16-rounding floor. (The s8-chained graph
+    stores inter-layer tensors once in int8, so a fallback there could
+    only skip WEIGHT rounding — measured no quality gain; hence the
+    legacy routing, trading the chained path's ~10% throughput for the
+    quality knob.)
     """
 
     def __init__(self, params, repeat_num: int, hidden_num: int,
                  wino_layers: frozenset = DEFAULT_WINO_LAYERS,
-                 calib_percentile: Optional[float] = None):
+                 calib_percentile: Optional[float] = None,
+                 bf16_layers: frozenset = frozenset()):
         self.params = params
         self.repeat_num = repeat_num
         self.hidden_num = hidden_num
         self.wino_layers = frozenset(wino_layers)
         self.calib_percentile = calib_percentile
+        self.bf16_layers = frozenset(bf16_layers)
         self.quant: Optional[Dict] = None
 
     def calibrate(self, embs_batches, pose_batches) -> "QuantizedGenerator":
@@ -483,6 +511,13 @@ class QuantizedGenerator:
             self.hidden_num, wino_layers=self.wino_layers,
             calib_percentile=self.calib_percentile)
         weights = quantize_weights(self.params, self.repeat_num)
+        valid = set(weights)
+        unknown = self.bf16_layers - valid
+        if unknown:
+            raise ValueError(f"unknown bf16_layers {sorted(unknown)}; "
+                             f"valid names: {sorted(valid)}")
+        for name in self.bf16_layers:
+            weights.pop(name)  # absent from the table -> bf16 branch
         wino_tables = {}
         for name in self.wino_layers:
             kernel = np.asarray(_layer_param_tree(self.params, name)["kernel"])
@@ -499,7 +534,8 @@ class QuantizedGenerator:
     def __call__(self, embs, pose):
         assert self.quant is not None, "calibrate() first"
         return uae_forward(self.params, embs, pose, self.repeat_num,
-                           self.hidden_num, quant=self.quant)
+                           self.hidden_num, quant=self.quant,
+                           chained=not self.bf16_layers)
 
 
 # --------------------------------------------------------------- encoder

@@ -2,6 +2,7 @@
 
   python scripts/int8_quality.py train <steps> [model_dir]
   python scripts/int8_quality.py check <model_dir> [--per_layer]
+      [--percentile=99.9] [--fallback=dec/Conv_13,to_rgb]
 
 `train` runs Stage-I (Market 128x64, bs64, synthetic data, fixed seed) to
 <steps> on the TPU and checkpoints. `check` loads the newest checkpoint
@@ -63,7 +64,7 @@ def train(steps: int, model_dir: str, pool_size: int = 64) -> None:
 
 
 def check(model_dir: str, per_layer: bool = False, n_batches: int = 4,
-          percentile=None) -> None:
+          percentile=None, fallback: str = "") -> None:
     import jax
     import jax.numpy as jnp
     from dpig_tpu.apps.common import pose_maps_from_batch, select_parts
@@ -97,15 +98,21 @@ def check(model_dir: str, per_layer: bool = False, n_batches: int = 4,
         pose = pose_maps_from_batch(jb, cfg)
         return embs, pose, jb
 
+    bf16_layers = frozenset(n for n in fallback.split(",") if n)
+    if bf16_layers:
+        print(f"[*] selective bf16 fallback: {sorted(bf16_layers)} "
+              "(legacy per-layer-quant routing)")
     fwd = jax.jit(lambda p, e, po, q: quant_mod.uae_forward(
-        p, e, po, cfg.repeat_num, cfg.conv_hidden_num, quant=q)[0])
+        p, e, po, cfg.repeat_num, cfg.conv_hidden_num, quant=q,
+        chained=not bf16_layers)[0])
     fwd_f = jax.jit(lambda p, e, po: quant_mod.uae_forward(
         p, e, po, cfg.repeat_num, cfg.conv_hidden_num)[0])
 
     e0, p0, _ = embs_pose(batches[0])
     q = quant_mod.QuantizedGenerator(gen_params, cfg.repeat_num,
                                      cfg.conv_hidden_num,
-                                     calib_percentile=percentile)
+                                     calib_percentile=percentile,
+                                     bf16_layers=bf16_layers)
     q.calibrate([e0], [p0])
 
     ssim_if, d_float, d_int8 = [], [], []
@@ -157,8 +164,11 @@ if __name__ == "__main__":
               sys.argv[3] if len(sys.argv) > 3 else "/tmp/q20k")
     else:
         pct = None
+        fb = ""
         for a in sys.argv[3:]:
             if a.startswith("--percentile="):
                 pct = float(a.split("=")[1])
+            if a.startswith("--fallback="):
+                fb = a.split("=", 1)[1]
         check(sys.argv[2], per_layer="--per_layer" in sys.argv,
-              percentile=pct)
+              percentile=pct, fallback=fb)

@@ -240,3 +240,55 @@ def test_bf16_raw_forward_matches_module():
                                atol=2e-2, rtol=0)
     np.testing.assert_allclose(np.asarray(got_z, np.float32),
                                np.asarray(want_z, np.float32), atol=2e-2)
+
+
+def test_selective_bf16_fallback():
+    """bf16_layers quality fallback: a fallback layer runs as an exact
+    bf16 conv (no input/weight/output rounding) via the legacy
+    per-layer-quant routing — the decoder-tail fallback must cut the
+    error vs float materially, and an all-layers fallback must approach
+    the bf16-rounding floor. The chained graph must tolerate a pruned
+    weight table (weight-rounding-only branch) without quality loss."""
+    rng = np.random.default_rng(7)
+    gen, params, embs, pose = _setup(rng)
+    out_f, _ = quant.uae_forward(params, embs, pose, REPEAT, HID)
+    out_f = np.asarray(out_f)
+
+    def err(bf16_layers):
+        q = quant.QuantizedGenerator(params, REPEAT, HID,
+                                     bf16_layers=frozenset(bf16_layers))
+        q.calibrate([embs], [pose])
+        for name in bf16_layers:
+            assert name not in q.quant["weights"]
+        out_q, _ = q(embs, pose)  # legacy routing when fallback is set
+        return np.abs(np.asarray(out_q) - out_f).mean(), q.quant
+
+    e_none, quant_none = err([])
+    # output-adjacent tail in bf16 -> error must drop materially
+    # (measured 0.0063 vs 0.0146 on this fixture)
+    tail = [f"dec/Conv_{i}" for i in range(8)] + ["to_rgb"]
+    e_tail, quant_tail = err(tail)
+    assert e_tail < e_none * 0.65, (e_tail, e_none)
+    # every conv in bf16 -> only bf16 rounding remains (measured 0.0038)
+    all_layers = ([f"enc/{n}" for _, n in quant.enc_layer_names(REPEAT)]
+                  + [f"dec/{n}" for _, n in quant.dec_layer_names(REPEAT)]
+                  + ["to_rgb"])
+    e_all, _ = err(all_layers)
+    assert e_all < e_none * 0.45, (e_all, e_none)
+
+    # the chained graph accepts a pruned table (bf16 weight branch) and
+    # stays as close to float as the fully-quantized chained graph
+    out_ch, _ = quant.uae_forward(params, embs, pose, REPEAT, HID,
+                                  quant=quant_tail, chained=True)
+    e_ch = np.abs(np.asarray(out_ch) - out_f).mean()
+    out_ch0, _ = quant.uae_forward(params, embs, pose, REPEAT, HID,
+                                   quant=quant_none, chained=True)
+    e_ch0 = np.abs(np.asarray(out_ch0) - out_f).mean()
+    assert e_ch < e_ch0 * 1.1, (e_ch, e_ch0)
+
+    # unknown layer names fail loudly
+    import pytest
+    with pytest.raises(ValueError, match="unknown bf16_layers"):
+        quant.QuantizedGenerator(params, REPEAT, HID,
+                                 bf16_layers=frozenset(["dec/Conv_99"])
+                                 ).calibrate([embs], [pose])

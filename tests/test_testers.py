@@ -235,3 +235,37 @@ def test_factor_sampling_tester_int8_256(tmp_path):
     g, pose, score = t.sample_step(params, jb, jax.random.PRNGKey(0))
     assert g.shape == (2, 256, 256, 3)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_transfer_tester_int8_fallback_layers(tmp_path):
+    """--int8_fallback_layers keeps named generator convs in exact bf16
+    inside the int8 path (legacy per-layer-quant routing): the quant
+    table must omit them, the step must run, and the output must change
+    vs plain chained int8 while staying close to bf16."""
+    import jax
+    cfg = small_cfg(tmp_path)
+    t = testers.ConditionalTransferTester(cfg)
+    loader = SyntheticLoader(cfg.batch_size, cfg.img_H, cfg.img_W, seed=5)
+    batch = next(loader)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    g_bf, _, _ = t.transfer_step(t.params, jb)
+
+    tail = f"dec/Conv_{3 * cfg.repeat_num - 2},to_rgb"
+    cfg_fb = small_cfg(tmp_path, inference_dtype="int8",
+                       int8_fallback_layers=tail)
+    t_fb = testers.ConditionalTransferTester(cfg_fb)
+    t_fb.params = t.params
+    params_fb = t_fb._inference_params(batch)
+    for name in tail.split(","):
+        assert name not in params_fb["_quant_gen"]["weights"], name
+    g_fb, _, _ = t_fb.transfer_step(params_fb, jb)
+
+    cfg8 = small_cfg(tmp_path, inference_dtype="int8")
+    t8 = testers.ConditionalTransferTester(cfg8)
+    t8.params = t.params
+    g_q, _, _ = t8.transfer_step(t8._inference_params(batch), jb)
+
+    a, fb, q = (np.asarray(x) for x in (g_bf, g_fb, g_q))
+    assert np.isfinite(fb).all()
+    assert np.abs(fb - q).mean() > 1e-3   # the routing actually changed
+    assert np.abs(a - fb).mean() < 8.0, np.abs(a - fb).mean()
