@@ -39,6 +39,18 @@ from .stage2_app import Stage2AppApp
 from .stage2_pose import POSE_Z
 
 
+def _parse_int8_fallback(cfg):
+    """Split --int8_fallback_layers into (encoder, generator) name sets:
+    'stem/fg/bg' prefixes are QuantizedEncoder layers, everything else
+    ('enc/…', 'dec/…', 'to_rgb') goes to the generator."""
+    names = frozenset(
+        n.strip() for n in
+        getattr(cfg, "int8_fallback_layers", "").split(",") if n.strip())
+    enc = frozenset(n for n in names
+                    if n.split("/")[0] in ("stem", "fg", "bg"))
+    return enc, names - enc
+
+
 def _save_dir_tree(root: str, names) -> Dict[str, str]:
     dirs = {}
     for n in names:
@@ -126,10 +138,11 @@ class _TesterBase:
         if "_quant_gen" in params:
             # a selective bf16 fallback routes through the legacy
             # per-layer-quant graph (QuantizedGenerator docstring)
+            _, gen_fb = _parse_int8_fallback(self.cfg)
             g_raw, _ = quant_mod.uae_forward(
                 params["ID_AE"], embs, pose_maps, gen_repeat,
                 self.cfg.conv_hidden_num, quant=params["_quant_gen"],
-                chained=not getattr(self.cfg, "int8_fallback_layers", ""))
+                chained=not gen_fb)
             return g_raw.astype(jnp.float32)
         if self.stage1.dtype == jnp.bfloat16:
             # layout-pinned bf16 raw-param forward: same math as the flax
@@ -160,23 +173,21 @@ class _TesterBase:
         jb = {k: jnp.asarray(v) for k, v in first_batch.items()}
         bbox, vis = select_parts(jb["part_bbox"], jb["part_vis"],
                                  cfg.roi_part_num)
+        enc_fallback, gen_fallback = _parse_int8_fallback(cfg)
         is_256 = cfg.img_H >= 256
         if self.stage1.fg_bg and not is_256:
             qe = quant_mod.QuantizedEncoder(
                 params["Encoder"], cfg.repeat_num, cfg.conv_hidden_num,
-                part_num=cfg.roi_part_num)
+                part_num=cfg.roi_part_num, bf16_layers=enc_fallback)
             qe.calibrate([(jb["x"], jb["mask_r6"], bbox, vis)])
             params["_quant_enc"] = qe.quant
         embs = jax.jit(functools.partial(self._encode_app))(params, jb)
         pose = render_pose_maps(jb["pose_rcv"], cfg.img_H, cfg.img_W,
                                 cfg.keypoint_num, radius=4, normalized=False)
         gen_repeat = cfg.repeat_num - 1 if is_256 else cfg.repeat_num
-        fallback = frozenset(
-            n.strip() for n in
-            getattr(cfg, "int8_fallback_layers", "").split(",") if n.strip())
         qg = quant_mod.QuantizedGenerator(params["ID_AE"], gen_repeat,
                                           cfg.conv_hidden_num,
-                                          bf16_layers=fallback)
+                                          bf16_layers=gen_fallback)
         # When this tester will feed Gaussian-mapper-SAMPLED embeddings
         # (sample_app/sample_fg/sample_bg), calibrate on a sampled batch
         # too: sampled embeddings can exceed the encoder-derived absmax

@@ -648,15 +648,24 @@ def quantize_encoder_weights(params, repeat_num: int) -> Dict:
 
 
 class QuantizedEncoder:
-    """Calibrated int8 RoiEncoderFgBg for inference (transfer path)."""
+    """Calibrated int8 RoiEncoderFgBg for inference (transfer path).
+
+    bf16_layers: encoder conv names ('stem/Conv_1..2', 'fg/Conv_*',
+    'bg/Conv_*') to keep as exact bf16 convs — the encoder graph carries
+    bf16 between layers, so omitting a layer from the weight table skips
+    its input/weight/output rounding entirely (same quality semantics as
+    the generator's legacy-routed fallback).
+    """
 
     def __init__(self, params, repeat_num: int, hidden_num: int,
-                 roi_size: int = 48, part_num: int = 7):
+                 roi_size: int = 48, part_num: int = 7,
+                 bf16_layers: frozenset = frozenset()):
         self.params = params
         self.repeat_num = repeat_num
         self.hidden_num = hidden_num
         self.roi_size = roi_size
         self.part_num = part_num
+        self.bf16_layers = frozenset(bf16_layers)
         self.quant: Optional[Dict] = None
 
     def calibrate(self, batches) -> "QuantizedEncoder":
@@ -672,9 +681,15 @@ class QuantizedEncoder:
                 maxima[k] = max(maxima.get(k, 0.0), float(v))
         act_scales = {k: jnp.float32(max(v, 1e-12) / 127.0)
                       for k, v in maxima.items()}
+        weights = quantize_encoder_weights(self.params, self.repeat_num)
+        unknown = self.bf16_layers - set(weights)
+        if unknown:
+            raise ValueError(f"unknown bf16_layers {sorted(unknown)}; "
+                             f"valid names: {sorted(weights)}")
+        for name in self.bf16_layers:
+            weights.pop(name)  # absent from the table -> bf16 branch
         self.quant = {
-            "weights": quantize_encoder_weights(self.params,
-                                                self.repeat_num),
+            "weights": weights,
             "act_scales": act_scales,
         }
         return self

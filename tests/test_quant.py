@@ -140,6 +140,26 @@ def test_encoder_forward_matches_module_and_int8_close():
     ref = np.abs(np.asarray(want)).mean() + 1e-9
     assert err / ref < 0.08, (err, ref)
 
+    # selective bf16 fallback: an all-layers fallback must approach the
+    # bf16 floor (encoder carries bf16 between layers already)
+    all_names = (["stem/Conv_1", "stem/Conv_2"]
+                 + [f"fg/{n}" for _, n in q.enc_layer_names(repeat)]
+                 + [f"bg/{n}" for _, n in q.enc_layer_names(repeat)])
+    qfb = q.QuantizedEncoder(params, repeat, hidden, roi_size=roi,
+                             part_num=parts,
+                             bf16_layers=frozenset(all_names))
+    qfb.calibrate([(x, mask, bbox, vis)])
+    assert not qfb.quant["weights"]
+    err_fb = np.abs(np.asarray(qfb(x, mask, bbox, vis))
+                    - np.asarray(want)).mean()
+    assert err_fb < err * 0.6, (err_fb, err)
+    import pytest
+    with pytest.raises(ValueError, match="unknown bf16_layers"):
+        q.QuantizedEncoder(params, repeat, hidden, roi_size=roi,
+                           part_num=parts,
+                           bf16_layers=frozenset(["fg/Conv_99"])
+                           ).calibrate([(x, mask, bbox, vis)])
+
 
 def test_chained_int8_matches_legacy_quant_path():
     """The s8-chained forward must track the legacy per-layer quant path
