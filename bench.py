@@ -243,4 +243,18 @@ def bench_transfer(batch_size: int, n_iters: int, dtype: str) -> None:
 
 
 if __name__ == "__main__":
-    main()
+    # The remote TPU backend occasionally has transient outages
+    # ("UNAVAILABLE: TPU backend setup/compile error"); retry a couple of
+    # times before giving up so a blip doesn't zero the benchmark.
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception as e:  # noqa: BLE001
+            transient = any(s in str(e) for s in
+                            ("UNAVAILABLE", "DEADLINE_EXCEEDED", "backend"))
+            if attempt == 2 or not transient:
+                raise
+            print(f"[bench] transient backend error (attempt {attempt + 1}),"
+                  f" retrying in 120s: {str(e)[:200]}", file=sys.stderr)
+            time.sleep(120)
