@@ -252,7 +252,8 @@ if __name__ == "__main__":
             break
         except Exception as e:  # noqa: BLE001
             transient = any(s in str(e) for s in
-                            ("UNAVAILABLE", "DEADLINE_EXCEEDED", "backend"))
+                            ("UNAVAILABLE", "DEADLINE_EXCEEDED",
+                             "backend setup/compile error"))
             if attempt == 2 or not transient:
                 raise
             print(f"[bench] transient backend error (attempt {attempt + 1}),"

@@ -51,7 +51,6 @@ class Stage1App:
         if cfg.train_pin_layouts:
             from ..models.quant import _pin_layout
             act = lambda t: _pin_layout(nn.relu(t))  # noqa: E731
-        self._act = act
         enc_cls = RoiEncoderFgBg if fg_bg else RoiEncoder
         if cfg.remat:  # --remat covers the encoder too (bs256 training
             enc_cls = nn.remat(enc_cls)  # OOMs by ~58M with gen-only remat)

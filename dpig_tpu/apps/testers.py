@@ -181,6 +181,15 @@ class _TesterBase:
                 part_num=cfg.roi_part_num, bf16_layers=enc_fallback)
             qe.calibrate([(jb["x"], jb["mask_r6"], bbox, vis)])
             params["_quant_enc"] = qe.quant
+        elif enc_fallback:
+            # no int8 encoder exists on this path — fail loudly rather
+            # than silently ignoring the user's fallback request
+            raise ValueError(
+                f"--int8_fallback_layers names {sorted(enc_fallback)} "
+                "target the int8 encoder, but this tester "
+                f"({type(self).__name__}, img_H={cfg.img_H}, "
+                f"fg_bg={self.stage1.fg_bg}) runs its encoder in bf16 "
+                "already; drop the stem/fg/bg names")
         embs = jax.jit(functools.partial(self._encode_app))(params, jb)
         pose = render_pose_maps(jb["pose_rcv"], cfg.img_H, cfg.img_W,
                                 cfg.keypoint_num, radius=4, normalized=False)
@@ -210,6 +219,18 @@ class _TesterBase:
         embeddings, when this tester can feed them at inference (overridden
         by the sampling testers). None = encoder-only calibration."""
         return None
+
+    def _market_mapper_embs(self, params, b: int, rng):
+        """Mapper-sampled fg+bg app embedding batch (Market FgBg path).
+        Requires the subclass to define mapper_fg/mapper_bg/fg_dim."""
+        r_fg, r_bg = jax.random.split(rng)
+        fg = self.mapper_fg.apply(
+            {"params": params["Gaussian_FC_Fg"]},
+            sample_mapper_noise(r_fg, b, self.fg_dim))
+        bg = self.mapper_bg.apply(
+            {"params": params["Gaussian_FC_Bg"]},
+            sample_mapper_noise(r_bg, b, self.cfg.roi_z_num * 4))
+        return jnp.concatenate([fg, bg], -1)
 
     def _disc_score(self, params, g_raw):
         if "Discriminator" not in params:
@@ -267,14 +288,7 @@ class FullSamplingTester(_TesterBase):
     def _sampled_calib_embs(self, params, b, rng):
         if not (self.cfg.sample_app or self.cfg.one_app_per_batch):
             return None
-        r_fg, r_bg = jax.random.split(rng)
-        fg = self.mapper_fg.apply(
-            {"params": params["Gaussian_FC_Fg"]},
-            sample_mapper_noise(r_fg, b, self.fg_dim))
-        bg = self.mapper_bg.apply(
-            {"params": params["Gaussian_FC_Bg"]},
-            sample_mapper_noise(r_bg, b, self.cfg.roi_z_num * 4))
-        return jnp.concatenate([fg, bg], -1)
+        return self._market_mapper_embs(params, b, rng)
 
     @functools.partial(jax.jit, static_argnums=(0, 4))
     def sample_step(self, params, batch, rng, pose_source: str = "real"):
@@ -393,18 +407,12 @@ class FactorSamplingTester(_TesterBase):
         cfg = self.cfg
         if not (cfg.sample_fg or cfg.sample_bg or cfg.sample_app):
             return None
-        r_fg, r_bg = jax.random.split(rng)
         if self.is_256:
+            r_fg, _ = jax.random.split(rng)
             return self.mapper_fg.apply(
                 {"params": params["Gaussian_FC"]},
                 sample_mapper_noise(r_fg, b, self.fg_dim))
-        fg = self.mapper_fg.apply(
-            {"params": params["Gaussian_FC_Fg"]},
-            sample_mapper_noise(r_fg, b, self.fg_dim))
-        bg = self.mapper_bg.apply(
-            {"params": params["Gaussian_FC_Bg"]},
-            sample_mapper_noise(r_bg, b, cfg.roi_z_num * 4))
-        return jnp.concatenate([fg, bg], -1)
+        return self._market_mapper_embs(params, b, rng)
 
     @functools.partial(jax.jit, static_argnums=0)
     def sample_step(self, params, batch, rng):

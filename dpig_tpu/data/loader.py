@@ -267,10 +267,11 @@ class TFRecordPairLoader:
                  shuffle_buffer: int = 512,
                  host_id: int = 0, host_count: int = 1,
                  num_workers: int = 0, prefetch_batches: int = 2,
-                 fields: str = "all"):
+                 fields: str = "all", part_num: int = 37):
         self.dataset_dir = dataset_dir
         self.batch_size = batch_size
         self.img_h, self.img_w = img_h, img_w
+        self.part_num = part_num
         self.mask_keys = MARKET_KEYS if "market" in dataset.lower() else DF_KEYS
         self.shuffle = shuffle
         self._fields = fields
@@ -302,15 +303,27 @@ class TFRecordPairLoader:
                 self._rng = random.Random(seed * host_count + host_id)
         self.shards = shards
         self.num_samples = self._load_pair_count(split)
-        if self.num_samples is not None and self._record_stride > 1:
-            # Round-robin striding: this host only sees records with
-            # index ≡ offset (mod stride); report the per-host count so
-            # callers sizing iteration from num_samples don't hit
-            # StopIteration early with shuffle=False.
-            self.num_samples = (
-                self.num_samples - self._record_offset
-                + self._record_stride - 1) // self._record_stride
+        # num_samples is PER-HOST in every multi-host configuration, so
+        # callers sizing iteration from it never hit StopIteration early
+        # with shuffle=False (single-host: == the global pair count).
+        if host_count > 1:
+            from .tfrecord import count_records
+            if self._record_stride > 1:
+                # Round-robin record striding over UN-split shards: this
+                # host only sees records with index ≡ offset (mod stride)
+                total = self.num_samples
+                if total is None:
+                    total = sum(count_records(s) for s in shards)
+                self.num_samples = (
+                    total - self._record_offset
+                    + self._record_stride - 1) // self._record_stride
+            else:
+                # Shard-split path: shards may hold uneven record counts,
+                # so count this host's records exactly (header-seek scan,
+                # no payload reads — one-time init cost)
+                self.num_samples = sum(count_records(s) for s in shards)
         self._it = iter_examples(shards, img_h, img_w, self.mask_keys,
+                                 part_num=part_num,
                                  repeat=shuffle, num_workers=num_workers,
                                  stride=self._record_stride,
                                  offset=self._record_offset, fields=fields)
@@ -376,8 +389,8 @@ class TFRecordPairLoader:
             h, w = self.img_h, self.img_w
             zi = np.zeros((b, h, w, 3), np.float32)
             zm = np.zeros((b, h, w, 1), np.float32)
-            zbx = np.zeros((b, 37, 4), np.int32)
-            zv = np.zeros((b, 37), np.int32)
+            zbx = np.zeros((b, self.part_num, 4), np.int32)
+            zv = np.zeros((b, self.part_num), np.int32)
             zb = {}
             for tag in ("", "_target"):
                 zb[f"x{tag}"] = zi

@@ -110,6 +110,26 @@ def read_records(path: str, verify_crc: bool = False) -> Iterator[bytes]:
             yield data
 
 
+def count_records(path: str) -> int:
+    """Number of records in a tfrecord file, via header-seek only (no
+    payload reads, no CRC) — cheap enough for loader init."""
+    n = 0
+    end = os.path.getsize(path)
+    with open(path, "rb") as f:
+        pos = 0
+        while pos + 12 <= end:
+            header = f.read(8)
+            if len(header) != 8:
+                break
+            (length,) = struct.unpack("<Q", header)
+            pos += 12 + length + 4
+            if pos > end:  # truncated tail record: don't count it
+                break
+            f.seek(pos)
+            n += 1
+    return n
+
+
 def list_shards(pattern_dir: str, prefix: str) -> List[str]:
     """All tfrecord shards in a directory matching `prefix*`."""
     out = sorted(

@@ -99,9 +99,18 @@ def ensure_inception_graph(cache_dir: str = DEFAULT_CACHE,
                 h.update(chunk)
         if h.hexdigest() != want:
             raise IOError(f"{tgz}: sha256 {h.hexdigest()} != expected {want}")
-    with tarfile.open(tgz, "r:gz") as tar:
-        member = tar.getmember(INCEPTION_PB)
-        tar.extract(member, cache_dir)
+    try:
+        with tarfile.open(tgz, "r:gz") as tar:
+            member = tar.getmember(INCEPTION_PB)
+            tar.extract(member, cache_dir)
+    except (tarfile.TarError, EOFError, KeyError) as e:
+        # a truncated/corrupt download must not poison the cache: drop it
+        # so the next run re-downloads instead of crashing forever
+        os.remove(tgz)
+        print(f"[!] cached inception tarball was corrupt ({e}); removed "
+              f"{tgz} — rerun to re-download, or pass --inception_pb",
+              flush=True)
+        return None
     # structural validation: a frozen GraphDef must parse
     try:
         import tensorflow as tf

@@ -133,7 +133,9 @@ def main() -> None:
     ap.add_argument("--no_is", action="store_true",
                     help="skip the Inception Score entirely")
     a = ap.parse_args()
-    if a.inception_pb is None and not a.no_is:
+    if a.no_is:
+        a.inception_pb = None  # skip IS even when a graph was given
+    elif a.inception_pb is None:
         a.inception_pb = ensure_inception_graph()
     if a.stage == 2:
         score_stage2(a.model_dir, a.test_dir, masked=a.mask,

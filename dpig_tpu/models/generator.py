@@ -54,19 +54,16 @@ def _constant_input_stem(kernel, bias, embs, pose, dtype):
     row = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1, 1), 1)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w, 1), 2)
 
-    def sel(cls_idx, three):  # three: [B,3,hid] -> [B,spatial,1,hid]-ish
+    def sel_col(three):  # [B,3,hid] -> [B,1,W,hid]
         top, mid, bot = (three[:, 0, None, None, :],
                          three[:, 1, None, None, :],
                          three[:, 2, None, None, :])
-        if cls_idx == "row":
-            return jnp.where(row == 0, top,
-                             jnp.where(row == h - 1, bot, mid))
         return jnp.where(col == 0, top,
                          jnp.where(col == w - 1, bot, mid))
 
     # bias_map[b,i,j] = biases[b, row_cls(i), col_cls(j)]: select columns
     # within each row class, then rows.
-    per_row = [sel("col", biases[:, r]) for r in range(3)]   # [B,1,W,hid]*3
+    per_row = [sel_col(biases[:, r]) for r in range(3)]      # [B,1,W,hid]*3
     bias_map = jnp.where(row == 0, per_row[0],
                          jnp.where(row == h - 1, per_row[2], per_row[1]))
     return pose_part + bias_map + bias.astype(dtype)

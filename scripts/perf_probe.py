@@ -150,6 +150,21 @@ def probe_winomm(batch):
               f"TOPS-eq", flush=True)
 
 
+def _emitter_histogram(compiled_text, clock_ghz=1.5):
+    """{emitter: (est ms summed, n ops)} over every HLO that reports both
+    an estimated_cycles and a conv emitter in its backend_config."""
+    per_emitter = {}
+    for line in compiled_text.splitlines():
+        m = re.search(r'"estimated_cycles":"(\d+)"', line)
+        e = re.search(r'"emitter":"(\w+)"', line)
+        if m and e:
+            per_emitter.setdefault(e.group(1), [0, 0])
+            per_emitter[e.group(1)][0] += int(m.group(1))
+            per_emitter[e.group(1)][1] += 1
+    return {k: (round(v[0] / (clock_ghz * 1e6), 2), v[1])
+            for k, v in per_emitter.items()}
+
+
 def _cycles_table(compiled_text, clock_ghz=1.5, min_us=5.0):
     """Parse estimated_cycles out of compiled HLO text.
 
@@ -252,17 +267,8 @@ def probe_oracle_df(batch):
     txt = jax.jit(fwd).lower(params, quant_tables, embs, pose) \
         .compile().as_text()
     rows = _cycles_table(txt, min_us=50.0)
-    per_emitter = {}
-    for line in txt.splitlines():
-        m = re.search(r'"estimated_cycles":"(\d+)"', line)
-        e = re.search(r'"emitter":"(\w+)"', line)
-        if m and e:
-            per_emitter.setdefault(e.group(1), [0, 0])
-            per_emitter[e.group(1)][0] += int(m.group(1))
-            per_emitter[e.group(1)][1] += 1
     total_ms = sum(r[1] for r in rows) / 1.5e6
-    print(f"conv emitters (cycles summed): "
-          f"{ {k: (v[0] / 1.5e6, v[1]) for k, v in per_emitter.items()} }")
+    print(f"conv emitters (ms, n): { _emitter_histogram(txt) }")
     print(f"oracle total {total_ms:.2f} ms/batch{batch} => "
           f"{batch / total_ms * 1e3:.0f} img/s ceiling-est")
 
@@ -328,17 +334,8 @@ def probe_oracle_transfer(batch):
         txt = jax.jit(fn).lower(*args).compile().as_text()
         print(f"== {label} (bs{B})")
         rows = _cycles_table(txt, min_us=200.0)
-        per_emitter = {}
-        for line in txt.splitlines():
-            m = re.search(r'"estimated_cycles":"(\d+)"', line)
-            e = re.search(r'"emitter":"(\w+)"', line)
-            if m and e:
-                per_emitter.setdefault(e.group(1), [0, 0])
-                per_emitter[e.group(1)][0] += int(m.group(1))
-                per_emitter[e.group(1)][1] += 1
         total_ms = sum(r[1] for r in rows) / 1.5e6
-        print(f"  conv emitters (ms, n): "
-              f"{ {k: (round(v[0] / 1.5e6, 2), v[1]) for k, v in per_emitter.items()} }")
+        print(f"  conv emitters (ms, n): { _emitter_histogram(txt) }")
         print(f"  oracle total {total_ms:.2f} ms/bs{B} => "
               f"{B / total_ms * 1e3:.0f} img/s est", flush=True)
 

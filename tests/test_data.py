@@ -323,3 +323,44 @@ def test_prefetch_queue_sticky_stop(tmp_path, rng):
     for _ in range(3):  # repeated calls after exhaustion must NOT hang
         with pytest.raises(StopIteration):
             next(loader)
+
+
+def test_shard_split_num_samples_is_per_host(tmp_path, rng):
+    """In the shards>=hosts path num_samples must also be per-host —
+    counted exactly from this host's shards (they can be uneven), not
+    the global sidecar pair count."""
+    import pickle
+    from dpig_tpu.data.loader import TFRecordPairLoader
+    h, w = 32, 16
+    # two UNEVEN shards: 5 + 2 records
+    for i, n in enumerate((5, 2)):
+        p = str(tmp_path / f"Market1501_train_{i:05d}.tfrecord")
+        with tfrecord.TFRecordWriter(p) as wr:
+            for _ in range(n):
+                wr.write(make_example(rng, h, w))
+    with open(tmp_path / "pn_pairs_num_train.p", "wb") as f:
+        pickle.dump(7, f, protocol=2)
+    counts = []
+    for hid in range(2):
+        loader = TFRecordPairLoader(str(tmp_path), "train", batch_size=1,
+                                    img_h=h, img_w=w, dataset="market",
+                                    shuffle=False, host_id=hid, host_count=2)
+        counts.append(loader.num_samples)
+        got = 0
+        try:
+            for _ in range(10):
+                next(loader)
+                got += 1
+        except StopIteration:
+            pass
+        assert got == loader.num_samples, (hid, got, loader.num_samples)
+    assert counts == [5, 2]
+
+
+def test_count_records_matches_read_records(tmp_path, rng):
+    p = str(tmp_path / "c.tfrecord")
+    with tfrecord.TFRecordWriter(p) as wr:
+        for _ in range(9):
+            wr.write(make_example(rng, 32, 16))
+    assert tfrecord.count_records(p) == 9
+    assert sum(1 for _ in tfrecord.read_records(p)) == 9
