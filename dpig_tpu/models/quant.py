@@ -116,6 +116,7 @@ def uae_forward(params, embs, pose, repeat_num: int, hidden_num: int,
                 collect_stats: bool = False,
                 wino_layers: Optional[frozenset] = None,
                 calib_percentile: Optional[float] = None,
+                calib_hist_ranges: Optional[Dict[str, float]] = None,
                 chained: bool = True):
     """Layer-by-layer UAEGenerator forward on raw params.
 
@@ -141,6 +142,13 @@ def uae_forward(params, embs, pose, repeat_num: int, hidden_num: int,
     def record(name, x):
         if collect_stats:
             a = jnp.abs(x.astype(jnp.float32))
+            if calib_hist_ranges is not None:
+                # entropy-calibration pass 2: |x| histogram over the
+                # pass-1 absmax range (scale picked by KL search later)
+                stats[name] = jnp.histogram(
+                    a.ravel(), bins=_HIST_BINS,
+                    range=(0.0, calib_hist_ranges[name]))[0]
+                return
             # absmax by default; percentile clipping (e.g. 99.9) trades a
             # little saturation for finer quantization steps
             stats[name] = (jnp.max(a) if calib_percentile is None else
@@ -432,14 +440,61 @@ def quantize_weights(params, repeat_num: int) -> Dict:
     return weights
 
 
+_HIST_BINS = 512  # entropy-calibration histogram resolution
+
+
+def _kl_threshold_scale(hist: np.ndarray, amax: float,
+                        num_quant: int = 128) -> float:
+    """Entropy (KL-divergence) calibration à la TensorRT: pick the |x|
+    clip threshold whose `num_quant`-level quantized distribution is
+    closest (min KL) to the observed one, and return threshold/127 as
+    the activation scale. Clips rare outliers in exchange for finer
+    quantization steps where the mass is."""
+    hist = np.asarray(hist, np.float64)
+    if hist.sum() == 0 or amax <= 0:
+        return max(amax, 1e-12) / 127.0
+    bin_w = amax / len(hist)
+    best_kl, best_i = np.inf, len(hist)
+    for i in range(num_quant, len(hist) + 1):
+        p = hist[:i].copy()
+        p[i - 1] += hist[i:].sum()       # outliers clip into the edge bin
+        # redistribute the first i bins over num_quant quantized levels
+        q = np.zeros(i)
+        chunk = i / num_quant
+        for j in range(num_quant):
+            lo = int(np.floor(j * chunk))
+            hi = min(int(np.ceil((j + 1) * chunk)), i)
+            seg = hist[lo:hi]
+            nz = seg > 0
+            if nz.any():
+                q[lo:hi][nz] = seg.sum() / nz.sum()
+        psum, qsum = p.sum(), q.sum()
+        if psum == 0 or qsum == 0:
+            continue
+        p /= psum
+        q /= qsum
+        m = p > 0
+        kl = float(np.sum(p[m] * np.log(p[m] / np.maximum(q[m], 1e-12))))
+        if kl < best_kl:
+            best_kl, best_i = kl, i
+    return max((best_i + 0.5) * bin_w, 1e-12) / 127.0
+
+
 def calibrate(params, embs_batches, pose_batches, repeat_num: int,
               hidden_num: int, wino_layers: frozenset = frozenset(),
-              calib_percentile: Optional[float] = None
+              calib_percentile: Optional[float] = None,
+              calib_method: str = "absmax"
               ) -> Tuple[Dict[str, float], Dict[str, np.ndarray]]:
-    """Activation scales over calibration batches (float forward); absmax
-    by default, percentile clipping when `calib_percentile` is set.
+    """Activation scales over calibration batches (float forward).
 
+    calib_method: 'absmax' (default), 'percentile' (uses
+    `calib_percentile`, e.g. 99.9), or 'entropy' (two passes: absmax
+    ranges, then |x| histograms + KL threshold search per layer).
     Returns (per-tensor scales, per-point U scales for wino layers)."""
+    if calib_percentile is not None and calib_method == "absmax":
+        calib_method = "percentile"
+    if calib_method == "percentile" and calib_percentile is None:
+        raise ValueError("calib_method='percentile' needs calib_percentile")
     fwd = jax.jit(functools.partial(uae_forward, repeat_num=repeat_num,
                                     hidden_num=hidden_num,
                                     collect_stats=True,
@@ -455,6 +510,21 @@ def calibrate(params, embs_batches, pose_batches, repeat_num: int,
               for k, v in maxima.items() if not k.startswith("wino/")}
     u_scales = {k[5:]: np.maximum(v, 1e-12) / 127.0
                 for k, v in maxima.items() if k.startswith("wino/")}
+    if calib_method == "entropy":
+        ranges = {k: float(np.maximum(v, 1e-12))
+                  for k, v in maxima.items() if not k.startswith("wino/")}
+        fwd_h = jax.jit(functools.partial(
+            uae_forward, repeat_num=repeat_num, hidden_num=hidden_num,
+            collect_stats=True, calib_hist_ranges=ranges))
+        hists: Dict[str, np.ndarray] = {}
+        for embs, pose in zip(embs_batches, pose_batches):
+            _, _, stats = fwd_h(params, embs, pose)
+            for k, v in stats.items():
+                hists[k] = hists.get(k, 0) + np.asarray(v)
+        scales = {k: _kl_threshold_scale(h, ranges[k])
+                  for k, h in hists.items()}
+    elif calib_method not in ("absmax", "percentile"):
+        raise ValueError(f"unknown calib_method {calib_method!r}")
     return scales, u_scales
 
 
@@ -496,12 +566,14 @@ class QuantizedGenerator:
     def __init__(self, params, repeat_num: int, hidden_num: int,
                  wino_layers: frozenset = DEFAULT_WINO_LAYERS,
                  calib_percentile: Optional[float] = None,
-                 bf16_layers: frozenset = frozenset()):
+                 bf16_layers: frozenset = frozenset(),
+                 calib_method: str = "absmax"):
         self.params = params
         self.repeat_num = repeat_num
         self.hidden_num = hidden_num
         self.wino_layers = frozenset(wino_layers)
         self.calib_percentile = calib_percentile
+        self.calib_method = calib_method
         self.bf16_layers = frozenset(bf16_layers)
         self.quant: Optional[Dict] = None
 
@@ -509,7 +581,8 @@ class QuantizedGenerator:
         act_scales, u_scales = calibrate(
             self.params, embs_batches, pose_batches, self.repeat_num,
             self.hidden_num, wino_layers=self.wino_layers,
-            calib_percentile=self.calib_percentile)
+            calib_percentile=self.calib_percentile,
+            calib_method=self.calib_method)
         weights = quantize_weights(self.params, self.repeat_num)
         valid = set(weights)
         unknown = self.bf16_layers - valid

@@ -2,7 +2,8 @@
 
   python scripts/int8_quality.py train <steps> [model_dir]
   python scripts/int8_quality.py check <model_dir> [--per_layer]
-      [--percentile=99.9] [--fallback=dec/Conv_13,to_rgb]
+      [--percentile=99.9] [--method=entropy]
+      [--fallback=dec/Conv_13,to_rgb]
 
 `train` runs Stage-I (Market 128x64, bs64, synthetic data, fixed seed) to
 <steps> on the TPU and checkpoints. `check` loads the newest checkpoint
@@ -64,7 +65,8 @@ def train(steps: int, model_dir: str, pool_size: int = 64) -> None:
 
 
 def check(model_dir: str, per_layer: bool = False, n_batches: int = 4,
-          percentile=None, fallback: str = "") -> None:
+          percentile=None, fallback: str = "", method: str = "absmax"
+          ) -> None:
     import jax
     import jax.numpy as jnp
     from dpig_tpu.apps.common import pose_maps_from_batch, select_parts
@@ -109,10 +111,13 @@ def check(model_dir: str, per_layer: bool = False, n_batches: int = 4,
         p, e, po, cfg.repeat_num, cfg.conv_hidden_num)[0])
 
     e0, p0, _ = embs_pose(batches[0])
+    if method != "absmax":
+        print(f"[*] calibration method: {method}")
     q = quant_mod.QuantizedGenerator(gen_params, cfg.repeat_num,
                                      cfg.conv_hidden_num,
                                      calib_percentile=percentile,
-                                     bf16_layers=bf16_layers)
+                                     bf16_layers=bf16_layers,
+                                     calib_method=method)
     q.calibrate([e0], [p0])
 
     ssim_if, d_float, d_int8 = [], [], []
@@ -165,10 +170,13 @@ if __name__ == "__main__":
     else:
         pct = None
         fb = ""
+        method = "absmax"
         for a in sys.argv[3:]:
             if a.startswith("--percentile="):
                 pct = float(a.split("=")[1])
             if a.startswith("--fallback="):
                 fb = a.split("=", 1)[1]
+            if a.startswith("--method="):
+                method = a.split("=", 1)[1]
         check(sys.argv[2], per_layer="--per_layer" in sys.argv,
-              percentile=pct, fallback=fb)
+              percentile=pct, fallback=fb, method=method)

@@ -312,3 +312,48 @@ def test_selective_bf16_fallback():
         quant.QuantizedGenerator(params, REPEAT, HID,
                                  bf16_layers=frozenset(["dec/Conv_99"])
                                  ).calibrate([embs], [pose])
+
+
+def test_kl_threshold_scale_clips_outliers():
+    """Entropy calibration must pick a threshold near the bulk of the
+    distribution when a rare outlier would otherwise waste the int8
+    range, and fall back to absmax-like behavior on a uniform hist."""
+    bins = quant._HIST_BINS
+    j = np.arange(bins)
+    # smooth exponential bulk + thin tail over a [0, 10] range (the
+    # realistic activation shape): the KL search must clip the tail
+    # (threshold well under amax) while covering the bulk
+    hist = 1e6 * np.exp(-j / 12.0) + 0.5
+    s = quant._kl_threshold_scale(hist, amax=10.0)
+    assert s < 4.0 / 127.0, s          # clips the thin tail
+    assert s > 1.0 / 127.0, s          # but covers the bulk (~3 decades)
+    # uniform histogram: no reason to clip -> threshold ~ amax
+    s_u = quant._kl_threshold_scale(np.ones(bins), amax=10.0)
+    assert s_u > 9.0 / 127.0, s_u
+    # degenerate inputs
+    assert quant._kl_threshold_scale(np.zeros(bins), amax=0.0) > 0
+
+
+def test_entropy_calibration_end_to_end():
+    """calib_method='entropy' produces finite scales <= absmax scales and
+    a generator output that still tracks float closely."""
+    rng = np.random.default_rng(11)
+    gen, params, embs, pose = _setup(rng)
+    q_abs = quant.QuantizedGenerator(params, REPEAT, HID)
+    q_abs.calibrate([embs], [pose])
+    q_ent = quant.QuantizedGenerator(params, REPEAT, HID,
+                                     calib_method="entropy")
+    q_ent.calibrate([embs], [pose])
+    for k, s_ent in q_ent.quant["act_scales"].items():
+        s_abs = float(q_abs.quant["act_scales"][k])
+        assert 0 < float(s_ent) <= s_abs * 1.01, (k, float(s_ent), s_abs)
+    out_f, _ = quant.uae_forward(params, embs, pose, REPEAT, HID)
+    out_e, _ = q_ent(embs, pose)
+    a, b = np.asarray(out_e), np.asarray(out_f)
+    cc = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    assert cc > 0.98, cc
+    import pytest
+    with pytest.raises(ValueError, match="unknown calib_method"):
+        quant.QuantizedGenerator(params, REPEAT, HID,
+                                 calib_method="bogus"
+                                 ).calibrate([embs], [pose])
