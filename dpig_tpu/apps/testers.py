@@ -39,6 +39,20 @@ from .stage2_app import Stage2AppApp
 from .stage2_pose import POSE_Z
 
 
+def _parse_int8_calibration(cfg):
+    """--int8_calibration -> QuantizedGenerator calibration kwargs."""
+    spec = getattr(cfg, "int8_calibration", "absmax") or "absmax"
+    if spec.startswith("percentile:"):
+        return {"calib_method": "percentile",
+                "calib_percentile": float(spec.split(":", 1)[1])}
+    if spec == "channel":
+        return {"calib_granularity": "channel"}
+    if spec in ("absmax", "entropy"):
+        return {"calib_method": spec}
+    raise ValueError(f"unknown --int8_calibration {spec!r} (expected "
+                     "absmax | percentile:<p> | entropy | channel)")
+
+
 def _parse_int8_fallback(cfg):
     """Split --int8_fallback_layers into (encoder, generator) name sets:
     'stem/fg/bg' prefixes are QuantizedEncoder layers, everything else
@@ -196,7 +210,8 @@ class _TesterBase:
         gen_repeat = cfg.repeat_num - 1 if is_256 else cfg.repeat_num
         qg = quant_mod.QuantizedGenerator(params["ID_AE"], gen_repeat,
                                           cfg.conv_hidden_num,
-                                          bf16_layers=gen_fallback)
+                                          bf16_layers=gen_fallback,
+                                          **_parse_int8_calibration(cfg))
         # When this tester will feed Gaussian-mapper-SAMPLED embeddings
         # (sample_app/sample_fg/sample_bg), calibrate on a sampled batch
         # too: sampled embeddings can exceed the encoder-derived absmax

@@ -109,6 +109,11 @@ class Config:
     # quality fallback; rank candidates with scripts/int8_quality.py
     # check --per_layer. Ignored unless inference_dtype=int8.
     int8_fallback_layers: str = ""
+    # Activation-calibration scheme for the int8 generator: 'absmax'
+    # (default), 'percentile:99.9', 'entropy' (KL threshold search), or
+    # 'channel' (per-input-channel absmax folded into the weights — same
+    # chained graph and throughput, finer steps per channel).
+    int8_calibration: str = "absmax"
     # Model-11 pose selection override. '' derives from --sample_pose:
     # False -> 'real', True -> 'reconstructed' (the reference quirk:
     # tester.py:93-95/341-343 decodes the AE embedding of the real pose,

@@ -61,17 +61,33 @@ def _conv(x, kernel, bias=None, stride=1, prefer=None):
     return out
 
 
-def _qconv(x, w8, w_scale, bias, s_x, stride=1):
-    """int8 conv: quantize activations, accumulate int32, dequantize."""
+def _qconv(x, w8, w_scale, bias, s_x, stride=1, folded=False):
+    """int8 conv: quantize activations, accumulate int32, dequantize.
+
+    folded=True: s_x is a per-input-channel vector already folded into
+    the quantized weights (w8 = quantize(kernel * s_x)), so the
+    dequantization factor is w_scale alone."""
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x), -127, 127)
     q = _pin_layout(q.astype(jnp.int8))
     acc = jax.lax.conv_general_dilated(
         q, w8, (stride, stride), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32)
-    out = (acc.astype(jnp.float32) * (s_x * w_scale) + bias).astype(
-        jnp.bfloat16)
+    factor = w_scale if folded else (s_x * w_scale)
+    out = (acc.astype(jnp.float32) * factor + bias).astype(jnp.bfloat16)
     return _pin_layout(out)
+
+
+def _head_scale(scale, c: int):
+    """First-c-channels slice of a per-channel scale (identity on
+    per-tensor scalars)."""
+    return scale[:c] if getattr(scale, "ndim", 0) else scale
+
+
+def _tail_scale(scale, c: int):
+    """Last-c-channels slice of a per-channel scale (identity on
+    per-tensor scalars)."""
+    return scale[-c:] if getattr(scale, "ndim", 0) else scale
 
 
 def _quantize(x, scale):
@@ -117,6 +133,7 @@ def uae_forward(params, embs, pose, repeat_num: int, hidden_num: int,
                 wino_layers: Optional[frozenset] = None,
                 calib_percentile: Optional[float] = None,
                 calib_hist_ranges: Optional[Dict[str, float]] = None,
+                calib_channel: bool = False,
                 chained: bool = True):
     """Layer-by-layer UAEGenerator forward on raw params.
 
@@ -142,6 +159,11 @@ def uae_forward(params, embs, pose, repeat_num: int, hidden_num: int,
     def record(name, x):
         if collect_stats:
             a = jnp.abs(x.astype(jnp.float32))
+            if calib_channel:
+                # per-input-channel absmax (folded into the weights by
+                # quantize_weights; see calibrate granularity='channel')
+                stats[name] = jnp.max(a, axis=(0, 1, 2))
+                return
             if calib_hist_ranges is not None:
                 # entropy-calibration pass 2: |x| histogram over the
                 # pass-1 absmax range (scale picked by KL search later)
@@ -169,7 +191,8 @@ def uae_forward(params, embs, pose, repeat_num: int, hidden_num: int,
         elif quant is not None and name in quant["weights"]:
             w8, w_scale = quant["weights"][name]
             out = _qconv(x, w8, w_scale, tree["bias"].astype(jnp.float32),
-                         quant["act_scales"][name], stride)
+                         quant["act_scales"][name], stride,
+                         folded="act_folded" in quant)
         else:
             out = _conv(x.astype(dtype), tree["kernel"].astype(dtype),
                         tree["bias"].astype(dtype), stride)
@@ -249,6 +272,7 @@ def _uae_forward_int8(params, embs, pose, repeat_num: int, hidden_num: int,
     """
     s = quant["act_scales"]
     W = quant["weights"]
+    folded = "act_folded" in quant  # per-channel scales folded into W
 
     def qconv(name, tree, q8, stride=1, relu=True, out_scale=None,
               res8=None, res_scale=None):
@@ -272,7 +296,8 @@ def _uae_forward_int8(params, embs, pose, repeat_num: int, hidden_num: int,
         else:
             w8, w_scale = W[name]
             acc = _qconv_raw(q8, w8, stride)
-            y = (acc.astype(jnp.float32) * (s[name] * w_scale)
+            factor = w_scale if folded else (s[name] * w_scale)
+            y = (acc.astype(jnp.float32) * factor
                  + tree["bias"].astype(jnp.float32))
         if relu:
             y = _REL(y)
@@ -303,8 +328,10 @@ def _uae_forward_int8(params, embs, pose, repeat_num: int, hidden_num: int,
         # conv_b epilogue fuses the residual add (res = block input, s8)
         r_bf = qconv(f"enc/{nb}", enc[nb], q_mid, res8=q, res_scale=s_a)
         ni += 2
-        # skip stored once, at its decoder consumer's concat scale
-        skips.append(_quantize(r_bf, dec_a_scale[repeat_num - 1 - idx]))
+        # skip stored once, at its decoder consumer's concat scale (the
+        # TAIL channels of the concat: [upsampled-z, skip])
+        skips.append(_quantize(r_bf, _tail_scale(
+            dec_a_scale[repeat_num - 1 - idx], r_bf.shape[-1])))
         if idx < repeat_num - 1:
             nd = enc_names[ni]
             q_d = _quantize(r_bf, s[f"enc/{nd}"])
@@ -324,7 +351,8 @@ def _uae_forward_int8(params, embs, pose, repeat_num: int, hidden_num: int,
     for idx in range(repeat_num):
         na, nb = dec_names[ni], dec_names[ni + 1]
         s_a = dec_a_scale[idx]
-        u8 = _quantize(x_bf, s_a) if idx == 0 else z8
+        u8 = (_quantize(x_bf, _head_scale(s_a, x_bf.shape[-1]))
+              if idx == 0 else z8)
         cat8 = _pin_layout(jnp.concatenate(
             [u8, skips[repeat_num - 1 - idx]], axis=-1))
         q_mid = qconv(f"dec/{na}", params[na], cat8,
@@ -335,10 +363,12 @@ def _uae_forward_int8(params, embs, pose, repeat_num: int, hidden_num: int,
             r8 = qconv(f"dec/{nb}", params[nb], q_mid, res8=cat8,
                        res_scale=s_a, out_scale=s[f"dec/{nu}"])
             # 1x1 conv BEFORE the NN upsample (exact commute, 4x fewer
-            # FLOPs), requantized at the next block's concat scale and
-            # upsampled in s8
+            # FLOPs), requantized at the next block's concat scale (its
+            # HEAD channels) and upsampled in s8
             z8_half = qconv(f"dec/{nu}", params[nu], r8,
-                            out_scale=dec_a_scale[idx + 1])
+                            out_scale=_head_scale(
+                                dec_a_scale[idx + 1],
+                                params[nu]["kernel"].shape[-1]))
             z8 = upscale_nn(z8_half, 2)
             ni += 1
         else:
@@ -350,7 +380,8 @@ def _uae_forward_int8(params, embs, pose, repeat_num: int, hidden_num: int,
     if "to_rgb" in W:
         w8, w_scale = W["to_rgb"]
         acc = _qconv_raw(r8, w8)
-        out = (acc.astype(jnp.float32) * (s["to_rgb"] * w_scale)
+        factor = w_scale if folded else (s["to_rgb"] * w_scale)
+        out = (acc.astype(jnp.float32) * factor
                + params["to_rgb"]["bias"].astype(jnp.float32))
     else:
         out = _conv(r8.astype(jnp.float32) * s["to_rgb"],
@@ -420,23 +451,35 @@ def uae_forward_bf16(params, embs, pose, repeat_num: int, hidden_num: int):
     return out.astype(jnp.float32), z
 
 
-def quantize_weights(params, repeat_num: int) -> Dict:
+def quantize_weights(params, repeat_num: int,
+                     fold_act_scales: Optional[Dict] = None) -> Dict:
     """Per-output-channel symmetric int8 weights for all tower/decoder
-    convs and to_rgb (stem + denses stay float)."""
+    convs and to_rgb (stem + denses stay float).
+
+    fold_act_scales: per-input-channel activation scales (granularity=
+    'channel' calibration) folded into each kernel BEFORE its own
+    quantization — then `acc * w_scale` alone dequantizes the conv
+    exactly (the s_ci sits inside the channel sum and cannot be applied
+    post-hoc)."""
     weights = {}
 
-    def q(kernel):
+    def q(kernel, act_scale=None):
         k = np.asarray(kernel, np.float32)
+        if act_scale is not None:
+            k = k * np.asarray(act_scale, np.float32)[None, None, :, None]
         scale = np.abs(k).reshape(-1, k.shape[-1]).max(0) / 127.0
         scale = np.maximum(scale, 1e-12)
         w8 = np.clip(np.round(k / scale), -127, 127).astype(np.int8)
         return jnp.asarray(w8), jnp.asarray(scale.astype(np.float32))
 
+    fold = fold_act_scales or {}
     for _, name in enc_layer_names(repeat_num):
-        weights[f"enc/{name}"] = q(params["ConvBlockTower_0"][name]["kernel"])
+        weights[f"enc/{name}"] = q(params["ConvBlockTower_0"][name]["kernel"],
+                                   fold.get(f"enc/{name}"))
     for _, name in dec_layer_names(repeat_num):
-        weights[f"dec/{name}"] = q(params[name]["kernel"])
-    weights["to_rgb"] = q(params["to_rgb"]["kernel"])
+        weights[f"dec/{name}"] = q(params[name]["kernel"],
+                                   fold.get(f"dec/{name}"))
+    weights["to_rgb"] = q(params["to_rgb"]["kernel"], fold.get("to_rgb"))
     return weights
 
 
@@ -483,29 +526,43 @@ def _kl_threshold_scale(hist: np.ndarray, amax: float,
 def calibrate(params, embs_batches, pose_batches, repeat_num: int,
               hidden_num: int, wino_layers: frozenset = frozenset(),
               calib_percentile: Optional[float] = None,
-              calib_method: str = "absmax"
+              calib_method: str = "absmax",
+              calib_granularity: str = "tensor"
               ) -> Tuple[Dict[str, float], Dict[str, np.ndarray]]:
     """Activation scales over calibration batches (float forward).
 
     calib_method: 'absmax' (default), 'percentile' (uses
     `calib_percentile`, e.g. 99.9), or 'entropy' (two passes: absmax
     ranges, then |x| histograms + KL threshold search per layer).
-    Returns (per-tensor scales, per-point U scales for wino layers)."""
+    calib_granularity: 'tensor' (default) or 'channel' (per-input-channel
+    absmax vectors; fold into the weights via quantize_weights).
+    Returns (scales, per-point U scales for wino layers)."""
     if calib_percentile is not None and calib_method == "absmax":
         calib_method = "percentile"
     if calib_method == "percentile" and calib_percentile is None:
         raise ValueError("calib_method='percentile' needs calib_percentile")
+    if calib_granularity not in ("tensor", "channel"):
+        raise ValueError(f"unknown calib_granularity {calib_granularity!r}")
+    per_channel = calib_granularity == "channel"
+    if per_channel and (calib_method != "absmax" or wino_layers):
+        raise ValueError("granularity='channel' supports absmax only "
+                         "(no percentile/entropy/wino)")
     fwd = jax.jit(functools.partial(uae_forward, repeat_num=repeat_num,
                                     hidden_num=hidden_num,
                                     collect_stats=True,
                                     wino_layers=wino_layers,
-                                    calib_percentile=calib_percentile))
+                                    calib_percentile=calib_percentile,
+                                    calib_channel=per_channel))
     maxima: Dict[str, np.ndarray] = {}
     for embs, pose in zip(embs_batches, pose_batches):
         _, _, stats = fwd(params, embs, pose)
         for k, v in stats.items():
             v = np.asarray(v)
             maxima[k] = np.maximum(maxima.get(k, 0.0), v)
+    if per_channel:
+        scales = {k: (np.maximum(v, 1e-12) / 127.0).astype(np.float32)
+                  for k, v in maxima.items()}
+        return scales, {}
     scales = {k: float(np.maximum(v, 1e-12)) / 127.0
               for k, v in maxima.items() if not k.startswith("wino/")}
     u_scales = {k[5:]: np.maximum(v, 1e-12) / 127.0
@@ -561,29 +618,41 @@ class QuantizedGenerator:
     only skip WEIGHT rounding — measured no quality gain; hence the
     legacy routing, trading the chained path's ~10% throughput for the
     quality knob.)
+
+    calib_granularity='channel': per-input-channel activation scales,
+    folded into the weights before their own quantization (the fold is
+    exact — a uniform vector reproduces the per-tensor path bitwise), so
+    the chained graph and its throughput are unchanged while outlier
+    channels stop dictating the whole tensor's step size.
     """
 
     def __init__(self, params, repeat_num: int, hidden_num: int,
                  wino_layers: frozenset = DEFAULT_WINO_LAYERS,
                  calib_percentile: Optional[float] = None,
                  bf16_layers: frozenset = frozenset(),
-                 calib_method: str = "absmax"):
+                 calib_method: str = "absmax",
+                 calib_granularity: str = "tensor"):
         self.params = params
         self.repeat_num = repeat_num
         self.hidden_num = hidden_num
         self.wino_layers = frozenset(wino_layers)
         self.calib_percentile = calib_percentile
         self.calib_method = calib_method
+        self.calib_granularity = calib_granularity
         self.bf16_layers = frozenset(bf16_layers)
         self.quant: Optional[Dict] = None
 
     def calibrate(self, embs_batches, pose_batches) -> "QuantizedGenerator":
+        per_channel = self.calib_granularity == "channel"
         act_scales, u_scales = calibrate(
             self.params, embs_batches, pose_batches, self.repeat_num,
             self.hidden_num, wino_layers=self.wino_layers,
             calib_percentile=self.calib_percentile,
-            calib_method=self.calib_method)
-        weights = quantize_weights(self.params, self.repeat_num)
+            calib_method=self.calib_method,
+            calib_granularity=self.calib_granularity)
+        weights = quantize_weights(
+            self.params, self.repeat_num,
+            fold_act_scales=act_scales if per_channel else None)
         valid = set(weights)
         unknown = self.bf16_layers - valid
         if unknown:
@@ -599,9 +668,14 @@ class QuantizedGenerator:
             weights.pop(name, None)  # replaced by the wino path
         self.quant = {
             "weights": weights,
-            "act_scales": {k: jnp.float32(v) for k, v in act_scales.items()},
+            "act_scales": {k: jnp.asarray(v, jnp.float32)
+                           for k, v in act_scales.items()},
             "wino": wino_tables,
         }
+        if per_channel:
+            # key presence flags folded dequantization (acc * w_scale
+            # alone); value is a dummy array so the dict stays a pytree
+            self.quant["act_folded"] = jnp.int8(1)
         return self
 
     def __call__(self, embs, pose):

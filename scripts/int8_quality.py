@@ -2,7 +2,7 @@
 
   python scripts/int8_quality.py train <steps> [model_dir]
   python scripts/int8_quality.py check <model_dir> [--per_layer]
-      [--percentile=99.9] [--method=entropy]
+      [--percentile=99.9] [--method=entropy|channel]
       [--fallback=dec/Conv_13,to_rgb]
 
 `train` runs Stage-I (Market 128x64, bs64, synthetic data, fixed seed) to
@@ -113,11 +113,15 @@ def check(model_dir: str, per_layer: bool = False, n_batches: int = 4,
     e0, p0, _ = embs_pose(batches[0])
     if method != "absmax":
         print(f"[*] calibration method: {method}")
+    granularity = "tensor"
+    if method == "channel":
+        method, granularity = "absmax", "channel"
     q = quant_mod.QuantizedGenerator(gen_params, cfg.repeat_num,
                                      cfg.conv_hidden_num,
                                      calib_percentile=percentile,
                                      bf16_layers=bf16_layers,
-                                     calib_method=method)
+                                     calib_method=method,
+                                     calib_granularity=granularity)
     q.calibrate([e0], [p0])
 
     ssim_if, d_float, d_int8 = [], [], []

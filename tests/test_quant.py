@@ -357,3 +357,67 @@ def test_entropy_calibration_end_to_end():
         quant.QuantizedGenerator(params, REPEAT, HID,
                                  calib_method="bogus"
                                  ).calibrate([embs], [pose])
+
+
+def test_per_channel_uniform_fold_is_bitwise_per_tensor():
+    """Folding a UNIFORM per-channel scale vector into the weights must
+    reproduce the per-tensor chained path bitwise: absmax(k*s) = s*absmax(k)
+    so the quantized weights and the dequant factor are identical."""
+    rng = np.random.default_rng(13)
+    gen, params, embs, pose = _setup(rng)
+    qt = quant.QuantizedGenerator(params, REPEAT, HID)
+    qt.calibrate([embs], [pose])
+    out_t, _ = qt(embs, pose)
+
+    # hand-build the folded variant with uniform vectors
+    vec_scales = {}
+    for name, (w8, _) in qt.quant["weights"].items():
+        ci = w8.shape[2]
+        vec_scales[name] = np.full((ci,), float(qt.quant["act_scales"][name]),
+                                   np.float32)
+    weights = quant.quantize_weights(params, REPEAT,
+                                     fold_act_scales=vec_scales)
+    qc = {"weights": weights,
+          "act_scales": {k: jnp.asarray(v) for k, v in vec_scales.items()},
+          "wino": {}, "act_folded": jnp.int8(1)}
+    out_c, _ = quant.uae_forward(params, embs, pose, REPEAT, HID, quant=qc)
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_c),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_per_channel_calibration_end_to_end():
+    """calib_granularity='channel' stays at least as accurate as
+    per-tensor on both the chained and legacy paths, with vector scales
+    of the right length per layer."""
+    rng = np.random.default_rng(17)
+    gen, params, embs, pose = _setup(rng)
+    out_f = np.asarray(quant.uae_forward(params, embs, pose, REPEAT, HID)[0])
+
+    qt = quant.QuantizedGenerator(params, REPEAT, HID)
+    qt.calibrate([embs], [pose])
+    e_t = np.abs(np.asarray(qt(embs, pose)[0]) - out_f).mean()
+
+    qc = quant.QuantizedGenerator(params, REPEAT, HID,
+                                  calib_granularity="channel")
+    qc.calibrate([embs], [pose])
+    assert "act_folded" in qc.quant
+    for name, (w8, _) in qc.quant["weights"].items():
+        assert qc.quant["act_scales"][name].shape == (w8.shape[2],), name
+    e_c = np.abs(np.asarray(qc(embs, pose)[0]) - out_f).mean()
+    assert e_c < e_t * 1.05, (e_c, e_t)
+
+    out_leg, _ = quant.uae_forward(params, embs, pose, REPEAT, HID,
+                                   quant=qc.quant, chained=False)
+    e_leg = np.abs(np.asarray(out_leg) - out_f).mean()
+    assert e_leg < e_t * 1.05, (e_leg, e_t)
+
+    import pytest
+    with pytest.raises(ValueError, match="granularity"):
+        quant.QuantizedGenerator(params, REPEAT, HID,
+                                 calib_granularity="channel",
+                                 calib_method="entropy"
+                                 ).calibrate([embs], [pose])
+    with pytest.raises(ValueError, match="calib_granularity"):
+        quant.QuantizedGenerator(params, REPEAT, HID,
+                                 calib_granularity="bogus"
+                                 ).calibrate([embs], [pose])

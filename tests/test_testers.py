@@ -269,3 +269,36 @@ def test_transfer_tester_int8_fallback_layers(tmp_path):
     assert np.isfinite(fb).all()
     assert np.abs(fb - q).mean() > 1e-3   # the routing actually changed
     assert np.abs(a - fb).mean() < 8.0, np.abs(a - fb).mean()
+
+
+def test_int8_calibration_flag_variants(tmp_path):
+    """--int8_calibration selects the calibration scheme: 'channel' folds
+    per-channel scales (vector act_scales + act_folded marker),
+    'percentile:P' clips, bad specs fail loudly."""
+    loader = SyntheticLoader(4, 32, 16, seed=9)
+    batch = next(loader)
+
+    cfg_c = small_cfg(tmp_path, inference_dtype="int8",
+                      int8_calibration="channel")
+    t_c = testers.ConditionalTransferTester(cfg_c)
+    params_c = t_c._inference_params(batch)
+    q = params_c["_quant_gen"]
+    assert "act_folded" in q
+    some = next(iter(q["weights"]))
+    assert q["act_scales"][some].ndim == 1
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    g, _, _ = t_c.transfer_step(params_c, jb)
+    assert np.isfinite(np.asarray(g)).all()
+
+    cfg_p = small_cfg(tmp_path, inference_dtype="int8",
+                      int8_calibration="percentile:99.9")
+    t_p = testers.ConditionalTransferTester(cfg_p)
+    t_p.params = t_c.params
+    params_p = t_p._inference_params(batch)
+    assert params_p["_quant_gen"]["act_scales"][some].ndim == 0
+
+    import pytest
+    cfg_bad = small_cfg(tmp_path, inference_dtype="int8",
+                        int8_calibration="bogus")
+    with pytest.raises(ValueError, match="int8_calibration"):
+        testers.ConditionalTransferTester(cfg_bad)._inference_params(batch)
