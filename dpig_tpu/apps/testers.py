@@ -188,11 +188,13 @@ class _TesterBase:
         bbox, vis = select_parts(jb["part_bbox"], jb["part_vis"],
                                  cfg.roi_part_num)
         enc_fallback, gen_fallback = _parse_int8_fallback(cfg)
+        calib = _parse_int8_calibration(cfg)
         is_256 = cfg.img_H >= 256
         if self.stage1.fg_bg and not is_256:
             qe = quant_mod.QuantizedEncoder(
                 params["Encoder"], cfg.repeat_num, cfg.conv_hidden_num,
-                part_num=cfg.roi_part_num, bf16_layers=enc_fallback)
+                part_num=cfg.roi_part_num, bf16_layers=enc_fallback,
+                calib_granularity=calib.get("calib_granularity", "tensor"))
             qe.calibrate([(jb["x"], jb["mask_r6"], bbox, vis)])
             params["_quant_enc"] = qe.quant
         elif enc_fallback:
@@ -210,8 +212,7 @@ class _TesterBase:
         gen_repeat = cfg.repeat_num - 1 if is_256 else cfg.repeat_num
         qg = quant_mod.QuantizedGenerator(params["ID_AE"], gen_repeat,
                                           cfg.conv_hidden_num,
-                                          bf16_layers=gen_fallback,
-                                          **_parse_int8_calibration(cfg))
+                                          bf16_layers=gen_fallback, **calib)
         # When this tester will feed Gaussian-mapper-SAMPLED embeddings
         # (sample_app/sample_fg/sample_bg), calibrate on a sampled batch
         # too: sampled embeddings can exceed the encoder-derived absmax

@@ -708,7 +708,8 @@ def roi_fgbg_forward(params, x, fg_mask, part_bbox, part_vis,
                      repeat_num: int, hidden_num: int,
                      part_num: int = 7, roi_size: int = 48,
                      quant: Optional[Dict] = None,
-                     collect_stats: bool = False):
+                     collect_stats: bool = False,
+                     calib_channel: bool = False):
     """Layer-by-layer RoiEncoderFgBg forward on raw params (int8-capable).
 
     Float path is unit-tested equal to the flax module; with `quant` the
@@ -724,14 +725,17 @@ def roi_fgbg_forward(params, x, fg_mask, part_bbox, part_vis,
 
     def record(name, v):
         if collect_stats:
-            stats[name] = jnp.max(jnp.abs(v.astype(jnp.float32)))
+            a = jnp.abs(v.astype(jnp.float32))
+            stats[name] = (jnp.max(a, axis=(0, 1, 2)) if calib_channel
+                           else jnp.max(a))
 
     def conv_apply(name, tree, v, stride=1, act=True):
         record(name, v)
         if quant is not None and name in quant["weights"]:
             w8, w_scale = quant["weights"][name]
             out = _qconv(v, w8, w_scale, tree["bias"].astype(jnp.float32),
-                         quant["act_scales"][name], stride)
+                         quant["act_scales"][name], stride,
+                         folded="act_folded" in quant)
         else:
             out = _conv(v.astype(dtype), tree["kernel"].astype(dtype),
                         tree["bias"].astype(dtype), stride)
@@ -773,12 +777,18 @@ def roi_fgbg_forward(params, x, fg_mask, part_bbox, part_vis,
     return out
 
 
-def quantize_encoder_weights(params, repeat_num: int) -> Dict:
-    """int8 weights for the FgBg encoder's stem + both towers."""
+def quantize_encoder_weights(params, repeat_num: int,
+                             fold_act_scales: Optional[Dict] = None) -> Dict:
+    """int8 weights for the FgBg encoder's stem + both towers.
+    fold_act_scales: see quantize_weights — per-input-channel activation
+    scales folded into each kernel before quantization."""
     weights = {}
+    fold = fold_act_scales or {}
 
-    def q(kernel):
+    def q(kernel, act_scale=None):
         k = np.asarray(kernel, np.float32)
+        if act_scale is not None:
+            k = k * np.asarray(act_scale, np.float32)[None, None, :, None]
         scale = np.abs(k).reshape(-1, k.shape[-1]).max(0) / 127.0
         scale = np.maximum(scale, 1e-12)
         w8 = np.clip(np.round(k / scale), -127, 127).astype(np.int8)
@@ -786,11 +796,14 @@ def quantize_encoder_weights(params, repeat_num: int) -> Dict:
 
     # stem/Conv_0 (3->hidden) is tiny and int8 gains nothing: keep f32
     for i in range(1, 3):
-        weights[f"stem/Conv_{i}"] = q(params["_Stem_0"][f"Conv_{i}"]["kernel"])
+        weights[f"stem/Conv_{i}"] = q(params["_Stem_0"][f"Conv_{i}"]["kernel"],
+                                      fold.get(f"stem/Conv_{i}"))
     for _, name in enc_layer_names(repeat_num):
         weights[f"fg/{name}"] = q(
-            params["fg_tower"]["ConvBlockTower_0"][name]["kernel"])
-        weights[f"bg/{name}"] = q(params["bg_tower"][name]["kernel"])
+            params["fg_tower"]["ConvBlockTower_0"][name]["kernel"],
+            fold.get(f"fg/{name}"))
+        weights[f"bg/{name}"] = q(params["bg_tower"][name]["kernel"],
+                                  fold.get(f"bg/{name}"))
     return weights
 
 
@@ -806,29 +819,39 @@ class QuantizedEncoder:
 
     def __init__(self, params, repeat_num: int, hidden_num: int,
                  roi_size: int = 48, part_num: int = 7,
-                 bf16_layers: frozenset = frozenset()):
+                 bf16_layers: frozenset = frozenset(),
+                 calib_granularity: str = "tensor"):
+        if calib_granularity not in ("tensor", "channel"):
+            raise ValueError(
+                f"unknown calib_granularity {calib_granularity!r}")
         self.params = params
         self.repeat_num = repeat_num
         self.hidden_num = hidden_num
         self.roi_size = roi_size
         self.part_num = part_num
         self.bf16_layers = frozenset(bf16_layers)
+        self.calib_granularity = calib_granularity
         self.quant: Optional[Dict] = None
 
     def calibrate(self, batches) -> "QuantizedEncoder":
         """batches: iterable of (x, fg_mask, part_bbox, part_vis)."""
+        per_channel = self.calib_granularity == "channel"
         fwd = jax.jit(functools.partial(
             roi_fgbg_forward, repeat_num=self.repeat_num,
             hidden_num=self.hidden_num, roi_size=self.roi_size,
-            part_num=self.part_num, collect_stats=True))
-        maxima: Dict[str, float] = {}
+            part_num=self.part_num, collect_stats=True,
+            calib_channel=per_channel))
+        maxima: Dict[str, np.ndarray] = {}
         for (x, mask, bbox, vis) in batches:
             _, stats = fwd(self.params, x, mask, bbox, vis)
             for k, v in stats.items():
-                maxima[k] = max(maxima.get(k, 0.0), float(v))
-        act_scales = {k: jnp.float32(max(v, 1e-12) / 127.0)
+                maxima[k] = np.maximum(maxima.get(k, 0.0), np.asarray(v))
+        act_scales = {k: jnp.asarray(np.maximum(v, 1e-12) / 127.0,
+                                     jnp.float32)
                       for k, v in maxima.items()}
-        weights = quantize_encoder_weights(self.params, self.repeat_num)
+        weights = quantize_encoder_weights(
+            self.params, self.repeat_num,
+            fold_act_scales=act_scales if per_channel else None)
         unknown = self.bf16_layers - set(weights)
         if unknown:
             raise ValueError(f"unknown bf16_layers {sorted(unknown)}; "
@@ -839,6 +862,8 @@ class QuantizedEncoder:
             "weights": weights,
             "act_scales": act_scales,
         }
+        if per_channel:
+            self.quant["act_folded"] = jnp.int8(1)
         return self
 
     def __call__(self, x, fg_mask, part_bbox, part_vis):

@@ -421,3 +421,36 @@ def test_per_channel_calibration_end_to_end():
         quant.QuantizedGenerator(params, REPEAT, HID,
                                  calib_granularity="bogus"
                                  ).calibrate([embs], [pose])
+
+
+def test_encoder_per_channel_calibration():
+    """QuantizedEncoder granularity='channel': vector scales folded into
+    the weights; accuracy at least on par with per-tensor."""
+    from dpig_tpu.models.encoders import RoiEncoderFgBg
+    repeat, hidden, z, parts, roi = 3, 16, 8, 7, 12
+    enc = RoiEncoderFgBg(part_num=parts, z_num=z, repeat_num=repeat,
+                         hidden_num=hidden, roi_size=roi)
+    rng = np.random.default_rng(23)
+    b, h, w = 2, 32, 16
+    x = jnp.asarray(rng.normal(0, 0.5, (b, h, w, 3)), jnp.float32)
+    mask = jnp.asarray(rng.integers(0, 2, (b, h, w, 1)), jnp.float32)
+    bbox = jnp.asarray(
+        np.stack([[0, 0, 16, 8]] * parts * b).reshape(b, parts, 4))
+    vis = jnp.ones((b, parts))
+    params = jax.jit(enc.init)(jax.random.PRNGKey(0), x, mask, bbox,
+                               vis)["params"]
+    want = np.asarray(enc.apply({"params": params}, x, mask, bbox, vis))
+
+    def err(granularity):
+        qe = quant.QuantizedEncoder(params, repeat, hidden, roi_size=roi,
+                                    part_num=parts,
+                                    calib_granularity=granularity)
+        qe.calibrate([(x, mask, bbox, vis)])
+        if granularity == "channel":
+            assert "act_folded" in qe.quant
+            for name, (w8, _) in qe.quant["weights"].items():
+                assert qe.quant["act_scales"][name].shape == (w8.shape[2],)
+        return np.abs(np.asarray(qe(x, mask, bbox, vis)) - want).mean()
+
+    e_t, e_c = err("tensor"), err("channel")
+    assert e_c < e_t * 1.05, (e_c, e_t)
