@@ -4,6 +4,7 @@
   python scripts/int8_quality.py check <model_dir> [--per_layer]
       [--percentile=99.9] [--method=entropy|channel]
       [--fallback=dec/Conv_13,to_rgb]
+  python scripts/int8_quality.py sweep <model_dir>   # all schemes, one table
 
 `train` runs Stage-I (Market 128x64, bs64, synthetic data, fixed seed) to
 <steps> on the TPU and checkpoints. `check` loads the newest checkpoint
@@ -134,10 +135,14 @@ def check(model_dir: str, per_layer: bool = False, n_batches: int = 4,
         ssim_if.append(ssim_images(to255(gq), to255(gf)).mean())
         d_float.append(ssim_images(to255(gf), x255).mean())
         d_int8.append(ssim_images(to255(gq), x255).mean())
-    print(f"SSIM(int8,float)      = {np.mean(ssim_if):.4f}")
-    print(f"SSIM-to-target float  = {np.mean(d_float):.4f}")
-    print(f"SSIM-to-target int8   = {np.mean(d_int8):.4f}")
-    print(f"SSIM-to-target delta  = {np.mean(d_int8) - np.mean(d_float):+.4f}")
+    out = {"ssim_int8_float": float(np.mean(ssim_if)),
+           "ssim_to_target_float": float(np.mean(d_float)),
+           "ssim_to_target_int8": float(np.mean(d_int8)),
+           "delta": float(np.mean(d_int8) - np.mean(d_float))}
+    print(f"SSIM(int8,float)      = {out['ssim_int8_float']:.4f}")
+    print(f"SSIM-to-target float  = {out['ssim_to_target_float']:.4f}")
+    print(f"SSIM-to-target int8   = {out['ssim_to_target_int8']:.4f}")
+    print(f"SSIM-to-target delta  = {out['delta']:+.4f}")
 
     if per_layer:
         # leave-one-layer-out: run the LEGACY (unchained) quant path with
@@ -165,12 +170,36 @@ def check(model_dir: str, per_layer: bool = False, n_batches: int = 4,
         print("  top error contributors (bf16-fallback recovery):")
         for rec, name in rows[:6]:
             print(f"    {name:16s} {rec:+.5f}")
+    return out
+
+
+def sweep(model_dir: str, n_batches: int = 4) -> None:
+    """One-command quality table over every calibration scheme plus the
+    decoder-tail bf16 fallback, for the newest checkpoint in model_dir."""
+    configs = [
+        ("absmax", {}),
+        ("percentile 99.9", {"percentile": 99.9, "method": "percentile"}),
+        ("entropy", {"method": "entropy"}),
+        ("per-channel", {"method": "channel"}),
+        ("absmax + tail-fallback",
+         {"fallback": "dec/Conv_12,dec/Conv_13,to_rgb"}),
+    ]
+    rows = []
+    for label, kw in configs:
+        print(f"\n=== {label}")
+        rows.append((label, check(model_dir, n_batches=n_batches, **kw)))
+    print(f"\n{'scheme':24s} {'SSIM(int8,float)':>17s} {'to-target Δ':>12s}")
+    for label, r in rows:
+        print(f"{label:24s} {r['ssim_int8_float']:17.4f} "
+              f"{r['delta']:+12.4f}")
 
 
 if __name__ == "__main__":
     if sys.argv[1] == "train":
         train(int(sys.argv[2]),
               sys.argv[3] if len(sys.argv) > 3 else "/tmp/q20k")
+    elif sys.argv[1] == "sweep":
+        sweep(sys.argv[2])
     else:
         pct = None
         fb = ""
