@@ -27,7 +27,8 @@ import sys
 import numpy as np
 
 
-def train(steps: int, model_dir: str, pool_size: int = 64) -> None:
+def train(steps: int, model_dir: str, pool_size: int = 64,
+          cfg_overrides: dict = None) -> None:
     """Raw train loop for the gate: a device-resident pool of synthetic
     batches cycled round-robin, metrics forced only every 200 steps — the
     harness's per-step host roundtrips cap the lazy remote backend at
@@ -40,9 +41,12 @@ def train(steps: int, model_dir: str, pool_size: int = 64) -> None:
     from dpig_tpu.data.synthetic import SyntheticLoader
     from dpig_tpu.train import checkpoint as ckpt
 
-    cfg = Config(img_H=128, img_W=64, batch_size=64, compute_dtype="bfloat16",
-                 model_dir=model_dir, max_step=steps,
-                 fast_gan_step=True)  # ~18% faster; gate only needs depth
+    base = dict(img_H=128, img_W=64, batch_size=64,
+                compute_dtype="bfloat16", model_dir=model_dir,
+                max_step=steps,
+                fast_gan_step=True)  # ~18% faster; gate only needs depth
+    base.update(cfg_overrides or {})
+    cfg = Config(**base)
     app = Stage1App(cfg)
     state = app.init_state(jax.random.PRNGKey(0))
     loader = SyntheticLoader(cfg.batch_size, cfg.img_H, cfg.img_W, seed=123)
@@ -66,8 +70,8 @@ def train(steps: int, model_dir: str, pool_size: int = 64) -> None:
 
 
 def check(model_dir: str, per_layer: bool = False, n_batches: int = 4,
-          percentile=None, fallback: str = "", method: str = "absmax"
-          ) -> None:
+          percentile=None, fallback: str = "", method: str = "absmax",
+          cfg_overrides: dict = None) -> dict:
     import jax
     import jax.numpy as jnp
     from dpig_tpu.apps.common import pose_maps_from_batch, select_parts
@@ -78,8 +82,11 @@ def check(model_dir: str, per_layer: bool = False, n_batches: int = 4,
     from dpig_tpu.models import quant as quant_mod
     from dpig_tpu.train import checkpoint as ckpt
 
-    cfg = Config(img_H=128, img_W=64, batch_size=64,
-                 compute_dtype="bfloat16", model_dir=model_dir)
+    # the gate config; cfg_overrides shrinks it for CPU smoke tests
+    base = dict(img_H=128, img_W=64, batch_size=64,
+                compute_dtype="bfloat16", model_dir=model_dir)
+    base.update(cfg_overrides or {})
+    cfg = Config(**base)
     app = Stage1App(cfg)
     state = app.init_state(jax.random.PRNGKey(0))
     path = ckpt.latest_checkpoint(model_dir)
@@ -173,25 +180,31 @@ def check(model_dir: str, per_layer: bool = False, n_batches: int = 4,
     return out
 
 
-def sweep(model_dir: str, n_batches: int = 4) -> None:
+def sweep(model_dir: str, n_batches: int = 4,
+          cfg_overrides: dict = None) -> dict:
     """One-command quality table over every calibration scheme plus the
     decoder-tail bf16 fallback, for the newest checkpoint in model_dir."""
+    from dpig_tpu.config import Config
+    repeat = Config(**(cfg_overrides or {})).repeat_num
+    last = 3 * repeat - 2  # final decoder res-pair Conv_{last-1},Conv_{last}
     configs = [
         ("absmax", {}),
         ("percentile 99.9", {"percentile": 99.9, "method": "percentile"}),
         ("entropy", {"method": "entropy"}),
         ("per-channel", {"method": "channel"}),
         ("absmax + tail-fallback",
-         {"fallback": "dec/Conv_12,dec/Conv_13,to_rgb"}),
+         {"fallback": f"dec/Conv_{last - 1},dec/Conv_{last},to_rgb"}),
     ]
     rows = []
     for label, kw in configs:
         print(f"\n=== {label}")
-        rows.append((label, check(model_dir, n_batches=n_batches, **kw)))
+        rows.append((label, check(model_dir, n_batches=n_batches,
+                                  cfg_overrides=cfg_overrides, **kw)))
     print(f"\n{'scheme':24s} {'SSIM(int8,float)':>17s} {'to-target Δ':>12s}")
     for label, r in rows:
         print(f"{label:24s} {r['ssim_int8_float']:17.4f} "
               f"{r['delta']:+12.4f}")
+    return dict(rows)
 
 
 if __name__ == "__main__":
