@@ -91,8 +91,14 @@ def main() -> None:
                                  cfg.keypoint_num, radius=4, normalized=False)
         embs0 = jax.random.normal(jax.random.PRNGKey(9),
                                   (cb, emb_dim)) * 0.2
-        q = quant_mod.QuantizedGenerator(gen_params, gen_repeat,
-                                         cfg.conv_hidden_num)
+        # optional 5th arg: calibration granularity/scheme ('channel'
+        # folds per-input-channel scales into the weights — same chained
+        # graph, measures whether the fold is throughput-neutral)
+        calib = sys.argv[5] if len(sys.argv) > 5 else "absmax"
+        q = quant_mod.QuantizedGenerator(
+            gen_params, gen_repeat, cfg.conv_hidden_num,
+            calib_granularity="channel" if calib == "channel" else "tensor",
+            calib_method=calib if calib in ("absmax", "entropy") else "absmax")
         q.calibrate([embs0], [pose0])
         quant_tables = q.quant
 
