@@ -164,6 +164,8 @@ def check(model_dir: str, per_layer: bool = False, n_batches: int = 4,
             qq = {"weights": {k: v for k, v in q.quant["weights"].items()
                               if k != drop},
                   "act_scales": q.quant["act_scales"], "wino": {}}
+            if "act_folded" in q.quant:  # keep folded-dequant semantics
+                qq["act_folded"] = q.quant["act_folded"]
             g = np.asarray(jax.jit(lambda p, e, po, qq=qq: quant_mod.uae_forward(
                 p, e, po, cfg.repeat_num, cfg.conv_hidden_num, quant=qq,
                 chained=False)[0])(gen_params, e, po))
