@@ -18,3 +18,27 @@ def test_offline_returns_none(tmp_path, monkeypatch):
         raise OSError("no egress")
     monkeypatch.setattr(urllib.request, "urlretrieve", boom)
     assert ensure_inception_graph(cache_dir=str(tmp_path / "x")) is None
+
+
+def test_corrupt_cached_tarball_is_removed(tmp_path):
+    """A truncated/corrupt cached tarball must not poison the cache: the
+    bootstrap removes it and degrades to None instead of crashing every
+    subsequent run on tarfile.ReadError."""
+    from dpig_tpu.eval import inception
+    cache = tmp_path / "imagenet"
+    cache.mkdir()
+    tgz = cache / os.path.basename(inception.INCEPTION_URL)
+    tgz.write_bytes(b"\x1f\x8b not actually a gzip tarball")
+    assert ensure_inception_graph(cache_dir=str(cache)) is None
+    assert not tgz.exists()
+
+
+def test_sha_mismatch_raises(tmp_path):
+    from dpig_tpu.eval import inception
+    cache = tmp_path / "imagenet"
+    cache.mkdir()
+    tgz = cache / os.path.basename(inception.INCEPTION_URL)
+    tgz.write_bytes(b"whatever bytes")
+    import pytest
+    with pytest.raises(IOError, match="sha256"):
+        ensure_inception_graph(cache_dir=str(cache), sha256="0" * 64)
