@@ -95,10 +95,12 @@ def main() -> None:
         # folds per-input-channel scales into the weights — same chained
         # graph, measures whether the fold is throughput-neutral)
         calib = sys.argv[5] if len(sys.argv) > 5 else "absmax"
+        assert calib in ("absmax", "entropy", "channel"), \
+            f"unknown calibration scheme {calib!r}"
         q = quant_mod.QuantizedGenerator(
             gen_params, gen_repeat, cfg.conv_hidden_num,
             calib_granularity="channel" if calib == "channel" else "tensor",
-            calib_method=calib if calib in ("absmax", "entropy") else "absmax")
+            calib_method="absmax" if calib == "channel" else calib)
         q.calibrate([embs0], [pose0])
         quant_tables = q.quant
 

@@ -451,27 +451,28 @@ def uae_forward_bf16(params, embs, pose, repeat_num: int, hidden_num: int):
     return out.astype(jnp.float32), z
 
 
-def quantize_weights(params, repeat_num: int,
-                     fold_act_scales: Optional[Dict] = None) -> Dict:
-    """Per-output-channel symmetric int8 weights for all tower/decoder
-    convs and to_rgb (stem + denses stay float).
-
-    fold_act_scales: per-input-channel activation scales (granularity=
-    'channel' calibration) folded into each kernel BEFORE its own
+def _quantize_kernel(kernel, act_scale=None):
+    """Per-output-channel symmetric int8 weight quantization.
+    act_scale: per-input-channel activation scale folded in BEFORE
     quantization — then `acc * w_scale` alone dequantizes the conv
     exactly (the s_ci sits inside the channel sum and cannot be applied
     post-hoc)."""
+    k = np.asarray(kernel, np.float32)
+    if act_scale is not None:
+        k = k * np.asarray(act_scale, np.float32)[None, None, :, None]
+    scale = np.abs(k).reshape(-1, k.shape[-1]).max(0) / 127.0
+    scale = np.maximum(scale, 1e-12)
+    w8 = np.clip(np.round(k / scale), -127, 127).astype(np.int8)
+    return jnp.asarray(w8), jnp.asarray(scale.astype(np.float32))
+
+
+def quantize_weights(params, repeat_num: int,
+                     fold_act_scales: Optional[Dict] = None) -> Dict:
+    """int8 weights for all tower/decoder convs and to_rgb (stem +
+    denses stay float); see _quantize_kernel for the optional
+    per-channel activation-scale fold."""
     weights = {}
-
-    def q(kernel, act_scale=None):
-        k = np.asarray(kernel, np.float32)
-        if act_scale is not None:
-            k = k * np.asarray(act_scale, np.float32)[None, None, :, None]
-        scale = np.abs(k).reshape(-1, k.shape[-1]).max(0) / 127.0
-        scale = np.maximum(scale, 1e-12)
-        w8 = np.clip(np.round(k / scale), -127, 127).astype(np.int8)
-        return jnp.asarray(w8), jnp.asarray(scale.astype(np.float32))
-
+    q = _quantize_kernel
     fold = fold_act_scales or {}
     for _, name in enc_layer_names(repeat_num):
         weights[f"enc/{name}"] = q(params["ConvBlockTower_0"][name]["kernel"],
@@ -539,8 +540,17 @@ def calibrate(params, embs_batches, pose_batches, repeat_num: int,
     Returns (scales, per-point U scales for wino layers)."""
     if calib_percentile is not None and calib_method == "absmax":
         calib_method = "percentile"
+    if calib_method not in ("absmax", "percentile", "entropy"):
+        raise ValueError(f"unknown calib_method {calib_method!r}")
     if calib_method == "percentile" and calib_percentile is None:
         raise ValueError("calib_method='percentile' needs calib_percentile")
+    if calib_method == "entropy" and calib_percentile is not None:
+        # the KL search needs the FULL |x| range in pass 1 — histograms
+        # over a percentile-truncated range silently drop the outlier
+        # mass the edge bin is supposed to absorb (jnp.histogram ignores
+        # out-of-range values)
+        raise ValueError("calib_method='entropy' is mutually exclusive "
+                         "with calib_percentile")
     if calib_granularity not in ("tensor", "channel"):
         raise ValueError(f"unknown calib_granularity {calib_granularity!r}")
     per_channel = calib_granularity == "channel"
@@ -580,8 +590,6 @@ def calibrate(params, embs_batches, pose_batches, repeat_num: int,
                 hists[k] = hists.get(k, 0) + np.asarray(v)
         scales = {k: _kl_threshold_scale(h, ranges[k])
                   for k, h in hists.items()}
-    elif calib_method not in ("absmax", "percentile"):
-        raise ValueError(f"unknown calib_method {calib_method!r}")
     return scales, u_scales
 
 
@@ -779,20 +787,11 @@ def roi_fgbg_forward(params, x, fg_mask, part_bbox, part_vis,
 
 def quantize_encoder_weights(params, repeat_num: int,
                              fold_act_scales: Optional[Dict] = None) -> Dict:
-    """int8 weights for the FgBg encoder's stem + both towers.
-    fold_act_scales: see quantize_weights — per-input-channel activation
-    scales folded into each kernel before quantization."""
+    """int8 weights for the FgBg encoder's stem + both towers; see
+    _quantize_kernel for the optional per-channel fold."""
     weights = {}
     fold = fold_act_scales or {}
-
-    def q(kernel, act_scale=None):
-        k = np.asarray(kernel, np.float32)
-        if act_scale is not None:
-            k = k * np.asarray(act_scale, np.float32)[None, None, :, None]
-        scale = np.abs(k).reshape(-1, k.shape[-1]).max(0) / 127.0
-        scale = np.maximum(scale, 1e-12)
-        w8 = np.clip(np.round(k / scale), -127, 127).astype(np.int8)
-        return jnp.asarray(w8), jnp.asarray(scale.astype(np.float32))
+    q = _quantize_kernel
 
     # stem/Conv_0 (3->hidden) is tiny and int8 gains nothing: keep f32
     for i in range(1, 3):

@@ -69,16 +69,18 @@ def train(steps: int, model_dir: str, pool_size: int = 64,
     print(f"[*] saved step-{steps} checkpoint under {model_dir}")
 
 
-def check(model_dir: str, per_layer: bool = False, n_batches: int = 4,
-          percentile=None, fallback: str = "", method: str = "absmax",
-          cfg_overrides: dict = None) -> dict:
+def _gate_context(model_dir: str, n_batches: int,
+                  cfg_overrides: dict = None) -> dict:
+    """Shared setup for check()/sweep(): checkpoint restore, held-out
+    batches, encoded embeddings, and the jitted forwards — built ONCE so
+    a 5-scheme sweep doesn't recompile the identical float forward five
+    times on the remote-compile backend."""
     import jax
     import jax.numpy as jnp
     from dpig_tpu.apps.common import pose_maps_from_batch, select_parts
     from dpig_tpu.apps.stage1_app import Stage1App
     from dpig_tpu.config import Config
     from dpig_tpu.data.synthetic import SyntheticLoader
-    from dpig_tpu.eval.metrics import ssim_images
     from dpig_tpu.models import quant as quant_mod
     from dpig_tpu.train import checkpoint as ckpt
 
@@ -108,15 +110,35 @@ def check(model_dir: str, per_layer: bool = False, n_batches: int = 4,
         pose = pose_maps_from_batch(jb, cfg)
         return embs, pose, jb
 
+    fwds = {
+        True: jax.jit(lambda p, e, po, q: quant_mod.uae_forward(
+            p, e, po, cfg.repeat_num, cfg.conv_hidden_num, quant=q,
+            chained=True)[0]),
+        False: jax.jit(lambda p, e, po, q: quant_mod.uae_forward(
+            p, e, po, cfg.repeat_num, cfg.conv_hidden_num, quant=q,
+            chained=False)[0]),
+    }
+    fwd_f = jax.jit(lambda p, e, po: quant_mod.uae_forward(
+        p, e, po, cfg.repeat_num, cfg.conv_hidden_num)[0])
+    return dict(cfg=cfg, gen_params=gen_params, batches=batches,
+                embs_pose=embs_pose, fwds=fwds, fwd_f=fwd_f)
+
+
+def check(model_dir: str, per_layer: bool = False, n_batches: int = 4,
+          percentile=None, fallback: str = "", method: str = "absmax",
+          cfg_overrides: dict = None, ctx: dict = None) -> dict:
+    import jax
+    from dpig_tpu.models import quant as quant_mod
+
+    ctx = ctx or _gate_context(model_dir, n_batches, cfg_overrides)
+    cfg, gen_params = ctx["cfg"], ctx["gen_params"]
+    batches, embs_pose, fwd_f = ctx["batches"], ctx["embs_pose"], ctx["fwd_f"]
+
     bf16_layers = frozenset(n for n in fallback.split(",") if n)
     if bf16_layers:
         print(f"[*] selective bf16 fallback: {sorted(bf16_layers)} "
               "(legacy per-layer-quant routing)")
-    fwd = jax.jit(lambda p, e, po, q: quant_mod.uae_forward(
-        p, e, po, cfg.repeat_num, cfg.conv_hidden_num, quant=q,
-        chained=not bf16_layers)[0])
-    fwd_f = jax.jit(lambda p, e, po: quant_mod.uae_forward(
-        p, e, po, cfg.repeat_num, cfg.conv_hidden_num)[0])
+    fwd = ctx["fwds"][not bf16_layers]
 
     e0, p0, _ = embs_pose(batches[0])
     if method != "absmax":
@@ -132,6 +154,7 @@ def check(model_dir: str, per_layer: bool = False, n_batches: int = 4,
                                      calib_granularity=granularity)
     q.calibrate([e0], [p0])
 
+    from dpig_tpu.eval.metrics import ssim_images
     ssim_if, d_float, d_int8 = [], [], []
     for b in batches[1:]:
         e, po, jb = embs_pose(b)
@@ -166,9 +189,10 @@ def check(model_dir: str, per_layer: bool = False, n_batches: int = 4,
                   "act_scales": q.quant["act_scales"], "wino": {}}
             if "act_folded" in q.quant:  # keep folded-dequant semantics
                 qq["act_folded"] = q.quant["act_folded"]
-            g = np.asarray(jax.jit(lambda p, e, po, qq=qq: quant_mod.uae_forward(
-                p, e, po, cfg.repeat_num, cfg.conv_hidden_num, quant=qq,
-                chained=False)[0])(gen_params, e, po))
+            # one shared jitted fn: jax caches per quant-dict STRUCTURE,
+            # so consecutive drops reuse the trace machinery instead of
+            # compiling a fresh lambda per layer
+            g = np.asarray(ctx["fwds"][False](gen_params, e, po, qq))
             err = float(np.abs(g - gf).mean())
             if drop is None:
                 base = err
@@ -197,11 +221,13 @@ def sweep(model_dir: str, n_batches: int = 4,
         ("absmax + tail-fallback",
          {"fallback": f"dec/Conv_{last - 1},dec/Conv_{last},to_rgb"}),
     ]
+    ctx = _gate_context(model_dir, n_batches, cfg_overrides)
     rows = []
     for label, kw in configs:
         print(f"\n=== {label}")
         rows.append((label, check(model_dir, n_batches=n_batches,
-                                  cfg_overrides=cfg_overrides, **kw)))
+                                  cfg_overrides=cfg_overrides, ctx=ctx,
+                                  **kw)))
     print(f"\n{'scheme':24s} {'SSIM(int8,float)':>17s} {'to-target Δ':>12s}")
     for label, r in rows:
         print(f"{label:24s} {r['ssim_int8_float']:17.4f} "
