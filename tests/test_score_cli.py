@@ -97,3 +97,21 @@ def test_score_stage2_masked(tmp_path, rng):
     assert 0 < out["ssim_G1_x_mean"] <= 1.0
     assert out["ssim_G2_x_mean"] > 0.9999
     assert os.path.exists(root / "score_mask.txt")
+
+
+def test_no_is_overrides_inception_pb(tmp_path, rng, monkeypatch):
+    """--no_is must skip Inception Score even when --inception_pb is
+    also given (the documented 'skip entirely' contract)."""
+    import sys
+    from dpig_tpu.eval import score as score_mod
+
+    seen = {}
+
+    def spy(model_dir, test_dir, masked=False, inception_pb=None):
+        seen["inception_pb"] = inception_pb
+    monkeypatch.setattr(score_mod, "score_stage1", spy)
+    monkeypatch.setattr(sys, "argv",
+                        ["score", "1", str(tmp_path), "test_result",
+                         "--inception_pb", "/some/graph.pb", "--no_is"])
+    score_mod.main()
+    assert seen["inception_pb"] is None
