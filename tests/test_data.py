@@ -364,3 +364,31 @@ def test_count_records_matches_read_records(tmp_path, rng):
             wr.write(make_example(rng, 32, 16))
     assert tfrecord.count_records(p) == 9
     assert sum(1 for _ in tfrecord.read_records(p)) == 9
+
+
+def test_multihost_num_samples_without_sidecar(tmp_path, rng):
+    """With no pn_pairs_num sidecar, multi-host loaders count records by
+    header-seek scan — per-host in both the striding and shard-split
+    branches."""
+    from dpig_tpu.data.loader import TFRecordPairLoader
+    h, w = 32, 16
+    # one shard, 5 records -> striding branch
+    p = str(tmp_path / "Market1501_train_00000.tfrecord")
+    with tfrecord.TFRecordWriter(p) as wr:
+        for _ in range(5):
+            wr.write(make_example(rng, h, w))
+    counts = [TFRecordPairLoader(str(tmp_path), "train", batch_size=1,
+                                 img_h=h, img_w=w, dataset="market",
+                                 shuffle=False, host_id=hid, host_count=2
+                                 ).num_samples for hid in range(2)]
+    assert counts == [3, 2]
+    # second shard (2 records) -> shard-split branch
+    p2 = str(tmp_path / "Market1501_train_00001.tfrecord")
+    with tfrecord.TFRecordWriter(p2) as wr:
+        for _ in range(2):
+            wr.write(make_example(rng, h, w))
+    counts = [TFRecordPairLoader(str(tmp_path), "train", batch_size=1,
+                                 img_h=h, img_w=w, dataset="market",
+                                 shuffle=False, host_id=hid, host_count=2
+                                 ).num_samples for hid in range(2)]
+    assert counts == [5, 2]
