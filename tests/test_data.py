@@ -392,3 +392,32 @@ def test_multihost_num_samples_without_sidecar(tmp_path, rng):
                                  shuffle=False, host_id=hid, host_count=2
                                  ).num_samples for hid in range(2)]
     assert counts == [5, 2]
+
+
+def test_native_parser_fuzz_no_crash(rng):
+    """Byte-mutated records must never crash the C++ wire parser: every
+    mutation either parses (possibly to different values) or fails
+    cleanly into the protobuf fallback inside parse_example."""
+    from dpig_tpu.data import _native
+    from dpig_tpu.data.loader import parse_example
+    rec = bytearray(make_example(rng, 32, 16))
+    wanted = [("pose_peaks_0_rcv", 54), ("pose_peaks_1_rcv", 54)]
+    for trial in range(60):
+        mut = bytearray(rec)
+        for _ in range(rng.integers(1, 8)):
+            mut[rng.integers(0, len(mut))] = rng.integers(0, 256)
+        mut = bytes(mut)
+        try:
+            _native.parse_example_features(mut, wanted)
+        except (IOError, OSError, ValueError):
+            pass  # clean native rejection
+        try:
+            parse_example(mut, 32, 16, fields="pose_only")
+        except Exception:
+            pass  # fallback may reject malformed protos — fine, no crash
+    # truncations at every prefix length class
+    for cut in (0, 1, 7, len(rec) // 2, len(rec) - 1):
+        try:
+            _native.parse_example_features(bytes(rec[:cut]), wanted)
+        except (IOError, OSError, ValueError):
+            pass
