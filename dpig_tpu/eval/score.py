@@ -12,7 +12,8 @@ from __future__ import annotations
 import argparse
 import glob
 import os
-from typing import List, Optional
+import re
+from typing import Optional, Sequence
 
 import numpy as np
 from PIL import Image
@@ -22,23 +23,53 @@ from .inception import (ensure_inception_graph, frozen_graph_logits_fn,
                         get_inception_score)
 
 
-def _load_dir(d: str) -> List[np.ndarray]:
+def _index_key(path: str) -> str:
+    """Leading digit run of the basename — the sample index the tester
+    wrote (testers.py: x_target/ files are bare `00012.png`, G/ files
+    carry suffixes `00012_score1.234.png`)."""
+    m = re.match(r"(\d+)", os.path.basename(path))
+    return m.group(1) if m else os.path.basename(path)
+
+
+def _load_dir(d: str):
     files = sorted(sum((glob.glob(os.path.join(d, pat))
                         for pat in ("*.jpg", "*.png")), []))
-    return [np.asarray(Image.open(f)) for f in files]
+    keys = [_index_key(f) for f in files]
+    dupes = {k for k in keys if keys.count(k) > 1}
+    assert not dupes, (
+        f"{d}: duplicate sample indices {sorted(dupes)[:5]} — sorted-name "
+        "pairing would silently mispair; clean the directory")
+    return [np.asarray(Image.open(f)) for f in files], keys
+
+
+def _assert_paired(dirs_keys: Sequence[tuple]) -> None:
+    """Every dir must cover the SAME index set in the same sorted order —
+    pairing by sorted filename is only protocol-valid then."""
+    (ref_name, ref_keys) = dirs_keys[0]
+    for name, keys in dirs_keys[1:]:
+        if keys != ref_keys:
+            diff = sorted(set(keys) ^ set(ref_keys))
+            raise AssertionError(
+                f"{name}/ and {ref_name}/ index prefixes disagree "
+                f"(first diffs: {diff[:5]}) — refusing to pair by sort "
+                "order")
 
 
 def score_stage1(model_dir: str, test_dir: str, masked: bool = False,
                  inception_pb: Optional[str] = None) -> dict:
     root = os.path.join(model_dir, test_dir)
-    g_list = _load_dir(os.path.join(root, "G"))
-    x_list = _load_dir(os.path.join(root, "x_target"))
+    g_list, g_keys = _load_dir(os.path.join(root, "G"))
+    x_list, x_keys = _load_dir(os.path.join(root, "x_target"))
     assert len(g_list) == len(x_list) and g_list, (
         f"need matching G/ and x_target/ PNG dirs under {root}")
-    masks = _load_dir(os.path.join(root, "mask")) if masked else None
+    pairing = [("G", g_keys), ("x_target", x_keys)]
+    masks = None
     if masked:
+        masks, m_keys = _load_dir(os.path.join(root, "mask"))
         assert len(masks) == len(g_list), (
             f"mask/ has {len(masks)} images but G/ has {len(g_list)}")
+        pairing.append(("mask", m_keys))
+    _assert_paired(pairing)
 
     per = []
     for i, (g, x) in enumerate(zip(g_list, x_list)):
@@ -80,17 +111,20 @@ def score_stage2(model_dir: str, test_dir: str, masked: bool = False,
     score_mask.py:176-282 protocol (uint8 mask/255 multiplication,
     multichannel SSIM at data_range 255, masked IS)."""
     root = os.path.join(model_dir, test_dir)
-    x_list = _load_dir(os.path.join(root, "x_target"))
-    masks = _load_dir(os.path.join(root, "mask")) if masked else None
+    x_list, x_keys = _load_dir(os.path.join(root, "x_target"))
+    masks = None
     if masked:
+        masks, m_keys = _load_dir(os.path.join(root, "mask"))
         assert len(masks) == len(x_list), (
             f"mask/ has {len(masks)} images but x_target/ has {len(x_list)}")
+        _assert_paired([("x_target", x_keys), ("mask", m_keys)])
     out = {}
     lines = [f"N: {len(x_list)}   "]
     for gen in ("G1", "G2"):
-        g_list = _load_dir(os.path.join(root, gen))
+        g_list, g_keys = _load_dir(os.path.join(root, gen))
         assert len(g_list) == len(x_list) and g_list, (
             f"need matching {gen}/ and x_target/ PNG dirs under {root}")
+        _assert_paired([(gen, g_keys), ("x_target", x_keys)])
         if masked:
             per = [metrics.score_pair_masked(g, x, m)
                    for g, x, m in zip(g_list, x_list, masks)]

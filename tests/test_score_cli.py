@@ -115,3 +115,35 @@ def test_no_is_overrides_inception_pb(tmp_path, rng, monkeypatch):
                          "--inception_pb", "/some/graph.pb", "--no_is"])
     score_mod.main()
     assert seen["inception_pb"] is None
+
+
+def test_score_pairing_mispair_raises(tmp_path, rng):
+    """Sorted-filename pairing is only valid when the index prefixes
+    line up (VERDICT weak #6): a decoy G file with a foreign index, or a
+    duplicated index, must raise instead of silently mispairing."""
+    import pytest
+
+    root = tmp_path / "test_result"
+    for sub in ("G", "x_target"):
+        os.makedirs(root / sub)
+    for i in range(3):
+        x = rng.integers(0, 255, (32, 16, 3), dtype=np.uint8)
+        Image.fromarray(x).save(root / "x_target" / f"{i:05d}.png")
+        # G files carry the tester's _score suffix (testers.py:397)
+        Image.fromarray(x).save(root / "G" / f"{i:05d}_score1.234.png")
+    out = score_stage1(str(tmp_path), "test_result")  # aligned: fine
+    assert out["ssim_G_x_mean"] > 0.9999
+
+    # decoy: index 7 in G instead of 2 -> disjoint index sets
+    os.rename(root / "G" / "00002_score1.234.png",
+              root / "G" / "00007_score1.234.png")
+    with pytest.raises(AssertionError, match="index prefixes disagree"):
+        score_stage1(str(tmp_path), "test_result")
+    os.rename(root / "G" / "00007_score1.234.png",
+              root / "G" / "00002_score1.234.png")
+
+    # duplicate index inside one dir -> refuse before pairing
+    Image.fromarray(np.zeros((32, 16, 3), np.uint8)).save(
+        root / "G" / "00001_score9.999.png")
+    with pytest.raises(AssertionError, match="duplicate sample indices"):
+        score_stage1(str(tmp_path), "test_result")
