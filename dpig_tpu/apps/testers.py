@@ -151,12 +151,16 @@ class _TesterBase:
                       else self.cfg.repeat_num)
         if "_quant_gen" in params:
             # a selective bf16 fallback routes through the legacy
-            # per-layer-quant graph (QuantizedGenerator docstring)
+            # per-layer-quant graph unless --int8_fallback_mode=island
+            # keeps the chained graph with exact-bf16 islands
+            # (QuantizedGenerator docstring)
             _, gen_fb = _parse_int8_fallback(self.cfg)
+            island = (getattr(self.cfg, "int8_fallback_mode", "legacy")
+                      == "island")
             g_raw, _ = quant_mod.uae_forward(
                 params["ID_AE"], embs, pose_maps, gen_repeat,
                 self.cfg.conv_hidden_num, quant=params["_quant_gen"],
-                chained=not gen_fb)
+                chained=not gen_fb or island)
             return g_raw.astype(jnp.float32)
         if self.stage1.dtype == jnp.bfloat16:
             # layout-pinned bf16 raw-param forward: same math as the flax

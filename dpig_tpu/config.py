@@ -109,6 +109,12 @@ class Config:
     # quality fallback; rank candidates with scripts/int8_quality.py
     # check --per_layer. Ignored unless inference_dtype=int8.
     int8_fallback_layers: str = ""
+    # How fallback layers are routed: 'legacy' re-routes the whole
+    # generator through the per-layer-quant graph (bf16 inter-layer
+    # tensors, ~10% slower); 'island' keeps the s8-chained graph and runs
+    # the fallback layers as exact-bf16 islands inside it (chained
+    # throughput; consecutive fallback layers pass bf16 between them).
+    int8_fallback_mode: str = "legacy"  # 'legacy' | 'island'
     # Activation-calibration scheme for the int8 generator: 'absmax'
     # (default), 'percentile:99.9', 'entropy' (KL threshold search), or
     # 'channel' (per-input-channel absmax folded into the weights — same

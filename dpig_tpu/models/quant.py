@@ -269,31 +269,55 @@ def _uae_forward_int8(params, embs, pose, repeat_num: int, hidden_num: int,
     Numerics: residual adds read the s8-quantized tensors (the legacy path
     read their bf16 parents) — an extra rounding on the residual path,
     covered by test_quant's error/SSIM gates.
+
+    Exact-bf16 ISLANDS (fallback_mode='island'): layers absent from the
+    weight table run as exact bf16 convs, and every tensor whose consumer
+    is such a layer stays bf16 (no requantization inside a consecutive
+    fallback run). An island therefore skips input, weight, and output
+    rounding exactly like the legacy-routed fallback; the single rounding
+    left is the island EXIT (the next int8 layer's own input quantize,
+    which the legacy path pays too). The remaining legacy-vs-island
+    difference is that skips/residuals outside islands still read s8.
     """
     s = quant["act_scales"]
     W = quant["weights"]
     folded = "act_folded" in quant  # per-channel scales folded into W
 
-    def qconv(name, tree, q8, stride=1, relu=True, out_scale=None,
-              res8=None, res_scale=None):
-        """s8 conv + fused epilogue.
+    def for_consumer(x_bf, consumer, scale):
+        """Store an activation for `consumer`: s8 at `scale`, or bf16
+        pass-through when the consumer runs exact-bf16 (island)."""
+        if consumer not in W:
+            return _pin_layout(x_bf.astype(jnp.bfloat16))
+        return _quantize(x_bf, scale)
 
-        out_scale given  -> returns s8 quantized at out_scale.
-        out_scale None   -> returns bf16.
-        res8/res_scale   -> adds the dequantized residual after the ReLU.
+    def qconv(name, tree, q8, stride=1, relu=True, out_scale=None,
+              res8=None, res_scale=None, out_name=None):
+        """s8/bf16 conv + fused epilogue.
+
+        Input dtype dispatch: s8 input is the chained default; a floating
+        input means the producer was a fallback island. out_scale given ->
+        returns s8 quantized at out_scale, UNLESS `out_name` (the consumer
+        layer) is itself a fallback layer — then bf16 passes through.
+        res8/res_scale -> adds the (dequantized if s8) residual after the
+        ReLU.
 
         A layer absent from the weight table (QuantizedGenerator
-        `bf16_layers` fallback) dequantizes its s8 input and runs the
-        exact bf16 conv instead — removing that layer's weight-quant and
-        accumulation rounding while keeping the s8 chaining around it.
+        `bf16_layers` fallback) runs the exact bf16 conv: it dequantizes
+        an s8 input (island entry) or consumes a bf16 input directly
+        (inside an island).
         """
+        floating_in = jnp.issubdtype(q8.dtype, jnp.floating)
         if name not in W:  # selective bf16 fallback
-            x_bf = _pin_layout((q8.astype(jnp.float32) * s[name])
-                               .astype(jnp.bfloat16))
-            y = _conv(x_bf, tree["kernel"].astype(jnp.bfloat16),
+            x_bf = (q8 if floating_in
+                    else (q8.astype(jnp.float32) * s[name])
+                    .astype(jnp.bfloat16))
+            y = _conv(_pin_layout(x_bf.astype(jnp.bfloat16)),
+                      tree["kernel"].astype(jnp.bfloat16),
                       stride=stride).astype(jnp.float32) \
                 + tree["bias"].astype(jnp.float32)
         else:
+            if floating_in:  # island exit: quantize at this layer's scale
+                q8 = _quantize(q8, s[name])
             w8, w_scale = W[name]
             acc = _qconv_raw(q8, w8, stride)
             factor = w_scale if folded else (s[name] * w_scale)
@@ -302,8 +326,11 @@ def _uae_forward_int8(params, embs, pose, repeat_num: int, hidden_num: int,
         if relu:
             y = _REL(y)
         if res8 is not None:
-            y = y + res8.astype(jnp.float32) * res_scale
-        if out_scale is None:
+            if jnp.issubdtype(res8.dtype, jnp.floating):
+                y = y + res8.astype(jnp.float32)
+            else:
+                y = y + res8.astype(jnp.float32) * res_scale
+        if out_scale is None or (out_name is not None and out_name not in W):
             return _pin_layout(y.astype(jnp.bfloat16))
         return _quantize(y, out_scale)
 
@@ -316,7 +343,7 @@ def _uae_forward_int8(params, embs, pose, repeat_num: int, hidden_num: int,
     x_bf = _REL(_constant_input_stem(params["stem_kernel"],
                                      params["stem_bias"], embs, pose,
                                      jnp.bfloat16))
-    q = _quantize(x_bf, s[f"enc/{enc_names[0]}"])
+    q = for_consumer(x_bf, f"enc/{enc_names[0]}", s[f"enc/{enc_names[0]}"])
 
     enc = params["ConvBlockTower_0"]
     skips = []
@@ -324,19 +351,22 @@ def _uae_forward_int8(params, embs, pose, repeat_num: int, hidden_num: int,
     for idx in range(repeat_num):
         na, nb = enc_names[ni], enc_names[ni + 1]
         s_a = s[f"enc/{na}"]
-        q_mid = qconv(f"enc/{na}", enc[na], q, out_scale=s[f"enc/{nb}"])
+        q_mid = qconv(f"enc/{na}", enc[na], q, out_scale=s[f"enc/{nb}"],
+                      out_name=f"enc/{nb}")
         # conv_b epilogue fuses the residual add (res = block input, s8)
         r_bf = qconv(f"enc/{nb}", enc[nb], q_mid, res8=q, res_scale=s_a)
         ni += 2
         # skip stored once, at its decoder consumer's concat scale (the
         # TAIL channels of the concat: [upsampled-z, skip])
-        skips.append(_quantize(r_bf, _tail_scale(
+        dec_consumer = f"dec/{dec_names[3 * (repeat_num - 1 - idx)]}"
+        skips.append(for_consumer(r_bf, dec_consumer, _tail_scale(
             dec_a_scale[repeat_num - 1 - idx], r_bf.shape[-1])))
         if idx < repeat_num - 1:
             nd = enc_names[ni]
-            q_d = _quantize(r_bf, s[f"enc/{nd}"])
+            q_d = for_consumer(r_bf, f"enc/{nd}", s[f"enc/{nd}"])
             q = qconv(f"enc/{nd}", enc[nd], q_d, stride=2,
-                      out_scale=s[f"enc/{enc_names[ni + 1]}"])
+                      out_scale=s[f"enc/{enc_names[ni + 1]}"],
+                      out_name=f"enc/{enc_names[ni + 1]}")
             ni += 1
 
     b, h_min, w_min, _ = r_bf.shape
@@ -351,29 +381,34 @@ def _uae_forward_int8(params, embs, pose, repeat_num: int, hidden_num: int,
     for idx in range(repeat_num):
         na, nb = dec_names[ni], dec_names[ni + 1]
         s_a = dec_a_scale[idx]
-        u8 = (_quantize(x_bf, _head_scale(s_a, x_bf.shape[-1]))
+        u8 = (for_consumer(x_bf, f"dec/{na}",
+                           _head_scale(s_a, x_bf.shape[-1]))
               if idx == 0 else z8)
         cat8 = _pin_layout(jnp.concatenate(
             [u8, skips[repeat_num - 1 - idx]], axis=-1))
         q_mid = qconv(f"dec/{na}", params[na], cat8,
-                      out_scale=s[f"dec/{nb}"])
+                      out_scale=s[f"dec/{nb}"], out_name=f"dec/{nb}")
         ni += 2
         if idx < repeat_num - 1:
             nu = dec_names[ni]
             r8 = qconv(f"dec/{nb}", params[nb], q_mid, res8=cat8,
-                       res_scale=s_a, out_scale=s[f"dec/{nu}"])
+                       res_scale=s_a, out_scale=s[f"dec/{nu}"],
+                       out_name=f"dec/{nu}")
             # 1x1 conv BEFORE the NN upsample (exact commute, 4x fewer
             # FLOPs), requantized at the next block's concat scale (its
             # HEAD channels) and upsampled in s8
+            nxt = f"dec/{dec_names[3 * (idx + 1)]}"
             z8_half = qconv(f"dec/{nu}", params[nu], r8,
                             out_scale=_head_scale(
                                 dec_a_scale[idx + 1],
-                                params[nu]["kernel"].shape[-1]))
+                                params[nu]["kernel"].shape[-1]),
+                            out_name=nxt)
             z8 = upscale_nn(z8_half, 2)
             ni += 1
         else:
             r8 = qconv(f"dec/{nb}", params[nb], q_mid, res8=cat8,
-                       res_scale=s_a, out_scale=s["to_rgb"])
+                       res_scale=s_a, out_scale=s["to_rgb"],
+                       out_name="to_rgb")
 
     # int8 to_rgb: tiny FLOPs, but the s8 path lets dec_b's epilogue emit
     # s8 instead of a bf16 round-trip (profiled ~2.4 ms/batch at bs256)
@@ -384,7 +419,10 @@ def _uae_forward_int8(params, embs, pose, repeat_num: int, hidden_num: int,
         out = (acc.astype(jnp.float32) * factor
                + params["to_rgb"]["bias"].astype(jnp.float32))
     else:
-        out = _conv(r8.astype(jnp.float32) * s["to_rgb"],
+        x_rgb = (r8.astype(jnp.float32) if
+                 jnp.issubdtype(r8.dtype, jnp.floating)
+                 else r8.astype(jnp.float32) * s["to_rgb"])
+        out = _conv(x_rgb,
                     params["to_rgb"]["kernel"].astype(jnp.float32),
                     params["to_rgb"]["bias"].astype(jnp.float32))
     return out.astype(jnp.float32), z
@@ -616,16 +654,23 @@ class QuantizedGenerator:
     run as exact bf16 convs inside the otherwise-int8 graph — a selective
     quality fallback for the most error-contributing layers (rank them
     with `scripts/int8_quality.py check --per_layer`). Implemented by
-    omitting the layer from the weight table. A non-empty fallback set
-    routes __call__ through the LEGACY per-layer-quant graph (bf16
-    inter-layer tensors), where a fallback layer skips input, weight,
-    and output rounding entirely — measured on a random net the
-    decoder-tail fallback halves mean|err| vs float and an all-layers
-    fallback reaches the bf16-rounding floor. (The s8-chained graph
-    stores inter-layer tensors once in int8, so a fallback there could
-    only skip WEIGHT rounding — measured no quality gain; hence the
-    legacy routing, trading the chained path's ~10% throughput for the
-    quality knob.)
+    omitting the layer from the weight table. Two routings:
+
+    fallback_mode='legacy' (default): a non-empty fallback set routes
+    __call__ through the LEGACY per-layer-quant graph (bf16 inter-layer
+    tensors), where a fallback layer skips input, weight, and output
+    rounding entirely — measured on a random net the decoder-tail
+    fallback halves mean|err| vs float and an all-layers fallback reaches
+    the bf16-rounding floor — at the cost of the chained path's ~10%
+    throughput.
+
+    fallback_mode='island': keep the s8-chained graph and run the
+    fallback layers as exact-bf16 ISLANDS inside it — tensors between
+    consecutive fallback layers stay bf16 (no requantization), so an
+    island skips input+weight+output rounding like the legacy routing;
+    the only extra rounding left vs legacy is that skips/residuals
+    OUTSIDE the island still read s8-stored tensors. Retains chained
+    throughput.
 
     calib_granularity='channel': per-input-channel activation scales,
     folded into the weights before their own quantization (the fold is
@@ -639,7 +684,8 @@ class QuantizedGenerator:
                  calib_percentile: Optional[float] = None,
                  bf16_layers: frozenset = frozenset(),
                  calib_method: str = "absmax",
-                 calib_granularity: str = "tensor"):
+                 calib_granularity: str = "tensor",
+                 fallback_mode: str = "legacy"):
         self.params = params
         self.repeat_num = repeat_num
         self.hidden_num = hidden_num
@@ -648,6 +694,8 @@ class QuantizedGenerator:
         self.calib_method = calib_method
         self.calib_granularity = calib_granularity
         self.bf16_layers = frozenset(bf16_layers)
+        assert fallback_mode in ("legacy", "island"), fallback_mode
+        self.fallback_mode = fallback_mode
         self.quant: Optional[Dict] = None
 
     def calibrate(self, embs_batches, pose_batches) -> "QuantizedGenerator":
@@ -688,9 +736,11 @@ class QuantizedGenerator:
 
     def __call__(self, embs, pose):
         assert self.quant is not None, "calibrate() first"
+        chained = (not self.bf16_layers
+                   or self.fallback_mode == "island")
         return uae_forward(self.params, embs, pose, self.repeat_num,
                            self.hidden_num, quant=self.quant,
-                           chained=not self.bf16_layers)
+                           chained=chained)
 
 
 # --------------------------------------------------------------- encoder

@@ -126,6 +126,7 @@ def _gate_context(model_dir: str, n_batches: int,
 
 def check(model_dir: str, per_layer: bool = False, n_batches: int = 4,
           percentile=None, fallback: str = "", method: str = "absmax",
+          fallback_mode: str = "legacy",
           cfg_overrides: dict = None, ctx: dict = None) -> dict:
     import jax
     from dpig_tpu.models import quant as quant_mod
@@ -137,8 +138,8 @@ def check(model_dir: str, per_layer: bool = False, n_batches: int = 4,
     bf16_layers = frozenset(n for n in fallback.split(",") if n)
     if bf16_layers:
         print(f"[*] selective bf16 fallback: {sorted(bf16_layers)} "
-              "(legacy per-layer-quant routing)")
-    fwd = ctx["fwds"][not bf16_layers]
+              f"({'exact-bf16 islands in the chained graph' if fallback_mode == 'island' else 'legacy per-layer-quant routing'})")
+    fwd = ctx["fwds"][not bf16_layers or fallback_mode == "island"]
 
     e0, p0, _ = embs_pose(batches[0])
     if method != "absmax":
@@ -220,6 +221,9 @@ def sweep(model_dir: str, n_batches: int = 4,
         ("per-channel", {"method": "channel"}),
         ("absmax + tail-fallback",
          {"fallback": f"dec/Conv_{last - 1},dec/Conv_{last},to_rgb"}),
+        ("tail-fallback (island)",
+         {"fallback": f"dec/Conv_{last - 1},dec/Conv_{last},to_rgb",
+          "fallback_mode": "island"}),
     ]
     ctx = _gate_context(model_dir, n_batches, cfg_overrides)
     rows = []
@@ -245,6 +249,7 @@ if __name__ == "__main__":
         pct = None
         fb = ""
         method = "absmax"
+        fb_mode = "legacy"
         for a in sys.argv[3:]:
             if a.startswith("--percentile="):
                 pct = float(a.split("=")[1])
@@ -252,5 +257,8 @@ if __name__ == "__main__":
                 fb = a.split("=", 1)[1]
             if a.startswith("--method="):
                 method = a.split("=", 1)[1]
+            if a.startswith("--fallback_mode="):
+                fb_mode = a.split("=", 1)[1]
         check(sys.argv[2], per_layer="--per_layer" in sys.argv,
-              percentile=pct, fallback=fb, method=method)
+              percentile=pct, fallback=fb, method=method,
+              fallback_mode=fb_mode)

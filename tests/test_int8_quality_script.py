@@ -14,7 +14,8 @@ def test_quality_sweep_smoke(tmp_path):
     q.train(3, str(tmp_path), pool_size=2, cfg_overrides=tiny)
     rows = q.sweep(str(tmp_path), n_batches=2, cfg_overrides=tiny)
     assert set(rows) == {"absmax", "percentile 99.9", "entropy",
-                         "per-channel", "absmax + tail-fallback"}
+                         "per-channel", "absmax + tail-fallback",
+                         "tail-fallback (island)"}
     for label, r in rows.items():
         assert 0.0 <= r["ssim_int8_float"] <= 1.0, (label, r)
         assert abs(r["delta"]) < 0.5, (label, r)

@@ -454,3 +454,40 @@ def test_encoder_per_channel_calibration():
 
     e_t, e_c = err("tensor"), err("channel")
     assert e_c < e_t * 1.05, (e_c, e_t)
+
+
+def test_island_fallback_matches_legacy_quality():
+    """fallback_mode='island' (VERDICT r3 weak #3): exact-bf16 islands
+    inside the s8-chained graph. A consecutive tail island
+    (dec tail + to_rgb) skips input/weight/output rounding like the
+    legacy routing, so its error vs float must drop materially below the
+    plain chained error and land near the legacy fallback's — while
+    staying a chained graph (no legacy routing)."""
+    rng = np.random.default_rng(11)
+    gen, params, embs, pose = _setup(rng)
+    out_f, _ = quant.uae_forward(params, embs, pose, REPEAT, HID)
+    out_f = np.asarray(out_f)
+    tail = [f"dec/Conv_{i}" for i in range(4, 8)] + ["to_rgb"]
+
+    def err(**kw):
+        q = quant.QuantizedGenerator(params, REPEAT, HID, **kw)
+        q.calibrate([embs], [pose])
+        out_q, _ = q(embs, pose)
+        return np.abs(np.asarray(out_q) - out_f).mean()
+
+    e_chained = err()
+    e_legacy = err(bf16_layers=frozenset(tail))
+    e_island = err(bf16_layers=frozenset(tail), fallback_mode="island")
+    # island must recover most of the legacy fallback's quality gain
+    assert e_island < e_chained * 0.75, (e_island, e_chained)
+    assert e_island < e_legacy * 1.35, (e_island, e_legacy)
+
+    # encoder-side island (tests bf16 skips + downsample pass-through)
+    enc_island = ["enc/Conv_0", "enc/Conv_1", "enc/Conv_2"]
+    e_enc = err(bf16_layers=frozenset(enc_island), fallback_mode="island")
+    assert np.isfinite(e_enc) and e_enc < e_chained * 1.2, (e_enc, e_chained)
+
+    # island mode with per-channel folded calibration still runs
+    e_ch = err(bf16_layers=frozenset(tail), fallback_mode="island",
+               calib_granularity="channel")
+    assert e_ch < e_chained * 0.9, (e_ch, e_chained)
