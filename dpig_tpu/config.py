@@ -32,6 +32,11 @@ class Config:
     batch_size: int = 16
     grayscale: bool = False
     num_worker: int = 4
+    # Parallel-decode executor: 'thread' (default; PIL/ctypes/numpy release
+    # the GIL so threads scale on multi-core hosts) or 'process' (a
+    # ProcessPoolExecutor fallback for GIL-bound codecs — pays ~300 KB/sample
+    # result pickling; see scripts/loader_bench.py for the measured table).
+    worker_mode: str = "thread"
 
     # Training / test (config.py:38-79)
     is_train: bool = True
@@ -133,17 +138,12 @@ class Config:
     # generator+encoder forward less per step (~17% on the v5e), with
     # slightly different (standard simultaneous-GAN) dynamics.
     fast_gan_step: bool = False
-    # EXPERIMENTAL: pin every post-activation tensor in the Stage-I train
-    # graph to the fast conv layout (batch-in-sublanes, models/quant.py
-    # _pin_layout; exact — a TPU-only identity op, no-op on CPU). The
-    # compile-time oracle (scripts/perf_probe.py oracle_train) says the
-    # pin moves ~90 ms of estimated fwd/dgrad conv time off the slow
-    # EmitInputBatchInLanes emitter (conv-estimate sum 373 -> 346 ms at
-    # bs128 fast); the one wall-clock A/B so far was inconclusive (ran
-    # during a degraded-then-down TPU window: pinned 306 vs unpinned 304
-    # img/s, both far below the 383 recorded on a healthy chip). Default
-    # stays False until a clean A/B decides it.
-    train_pin_layouts: bool = False
+    # NOTE a deleted experiment: --train_pin_layouts (pin every train-graph
+    # activation to the fast conv layout) was A/B'd twice on chip — r3
+    # (degraded window): 306 vs 304 img/s; r4: 324.6/327.9 pinned vs
+    # 323.8/309.3 unpinned at bs128 fast — neutral both times (XLA already
+    # picks fast layouts in the train graph; the oracle's estimated win was
+    # layout-assignment pessimism). Removed rather than shipped dead.
     demo_img_dir: Optional[str] = None  # test_one_by_one inputs
     demo_pair_path: Optional[str] = None
     demo_all_peaks_path: Optional[str] = None

@@ -24,8 +24,9 @@ import pickle
 import queue
 import random
 import threading
+import functools
 from collections import deque
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional
 
 import numpy as np
@@ -220,30 +221,51 @@ def iter_examples(shards: List[str], img_h: int, img_w: int,
                   repeat: bool = False,
                   num_workers: int = 0, stride: int = 1,
                   offset: int = 0,
-                  fields: str = "all") -> Iterator[Dict[str, np.ndarray]]:
-    """Parsed-sample stream. num_workers > 0 parses/decodes on a thread
-    pool with an ordered in-flight window, so the output ORDER is identical
+                  fields: str = "all",
+                  worker_mode: str = "thread"
+                  ) -> Iterator[Dict[str, np.ndarray]]:
+    """Parsed-sample stream. num_workers > 0 parses/decodes on an executor
+    with an ordered in-flight window, so the output ORDER is identical
     to the sequential path for any worker count (the reference pins test
     readers to 1 thread for order, trainer.py:108-110 — here order is
     deterministic even with workers). stride/offset select every
     `stride`-th record starting at `offset` (multi-host round-robin when
-    there are fewer shards than hosts)."""
+    there are fewer shards than hosts).
+
+    worker_mode: 'thread' (default — PIL decode, the native ctypes parser,
+    and numpy conversions all release the GIL, so threads scale on
+    multi-core hosts with zero copy overhead) or 'process' (a
+    ProcessPoolExecutor fallback for GIL-bound decode paths; each sample
+    pays record-submit + ~300 KB result pickling, so prefer threads unless
+    a profiler shows GIL serialization)."""
+    if worker_mode not in ("thread", "process"):
+        raise ValueError(f"unknown worker_mode {worker_mode!r}")
     records = iter_records(shards, repeat)
     if stride > 1:
         records = (r for i, r in enumerate(records)
                    if i % stride == offset)
 
-    def parse(rec):
-        return parse_example(rec, img_h, img_w, part_num=part_num,
-                             mask_a=mask_keys["mask_a"],
-                             mask_b=mask_keys["mask_b"], fields=fields)
+    # module-level partial (not a closure) so the process pool can pickle it
+    parse = functools.partial(parse_example, img_h=img_h, img_w=img_w,
+                              part_num=part_num,
+                              mask_a=mask_keys["mask_a"],
+                              mask_b=mask_keys["mask_b"], fields=fields)
 
     if num_workers <= 0:
         for rec in records:
             yield parse(rec)
         return
 
-    with ThreadPoolExecutor(num_workers) as pool:
+    if worker_mode == "process":
+        # forkserver: plain fork() from a thread-carrying parent (the
+        # loader's own prefetch thread, JAX's runtime threads) can deadlock
+        # the child on inherited lock state
+        import multiprocessing
+        pool = ProcessPoolExecutor(
+            num_workers, mp_context=multiprocessing.get_context("forkserver"))
+    else:
+        pool = ThreadPoolExecutor(num_workers)
+    with pool:
         pending: deque = deque()
         window = num_workers * 4
         for rec in records:
@@ -267,7 +289,8 @@ class TFRecordPairLoader:
                  shuffle_buffer: int = 512,
                  host_id: int = 0, host_count: int = 1,
                  num_workers: int = 0, prefetch_batches: int = 2,
-                 fields: str = "all", part_num: int = 37):
+                 fields: str = "all", part_num: int = 37,
+                 worker_mode: str = "thread"):
         self.dataset_dir = dataset_dir
         self.batch_size = batch_size
         self.img_h, self.img_w = img_h, img_w
@@ -326,7 +349,8 @@ class TFRecordPairLoader:
                                  part_num=part_num,
                                  repeat=shuffle, num_workers=num_workers,
                                  stride=self._record_stride,
-                                 offset=self._record_offset, fields=fields)
+                                 offset=self._record_offset, fields=fields,
+                                 worker_mode=worker_mode)
         # Batch prefetch: a daemon thread keeps `prefetch_batches` assembled
         # batches ahead so host decode overlaps device compute (the
         # reference's tf.train.batch queue runners, trainer.py:553-555).

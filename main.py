@@ -36,7 +36,7 @@ def make_loader(cfg: Config):
         cfg.data_path, cfg.split if cfg.is_train else "test",
         local_bs, cfg.img_H, cfg.img_W, dataset=cfg.dataset,
         shuffle=cfg.is_train, seed=cfg.random_seed,
-        num_workers=cfg.num_worker,
+        num_workers=cfg.num_worker, worker_mode=cfg.worker_mode,
         host_id=host_id, host_count=host_count)
 
 

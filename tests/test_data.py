@@ -187,19 +187,21 @@ def test_pair_loader_workers_order_identical(tmp_path, rng):
         for _ in range(12):
             w.write(make_example(rng))
 
-    def batches(num_workers, shuffle):
+    def batches(num_workers, shuffle, worker_mode="thread"):
         loader = TFRecordPairLoader(str(tmp_path), "train", batch_size=4,
                                     img_h=32, img_w=16, shuffle=shuffle,
-                                    seed=7, num_workers=num_workers)
+                                    seed=7, num_workers=num_workers,
+                                    worker_mode=worker_mode)
         return [next(loader) for _ in range(3)]
 
     for shuffle in (False, True):
         seq = batches(0, shuffle)
-        par = batches(2, shuffle)
-        for b0, b1 in zip(seq, par):
-            assert set(b0) == set(b1)
-            for k in b0:
-                np.testing.assert_array_equal(b0[k], b1[k])
+        for mode in ("thread", "process"):
+            par = batches(2, shuffle, worker_mode=mode)
+            for b0, b1 in zip(seq, par):
+                assert set(b0) == set(b1)
+                for k in b0:
+                    np.testing.assert_array_equal(b0[k], b1[k])
 
 
 def test_pair_loader_worker_throughput(tmp_path, rng):
