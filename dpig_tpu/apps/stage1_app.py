@@ -48,9 +48,6 @@ class Stage1App:
         gen_repeat = cfg.repeat_num - 1 if is_256 else cfg.repeat_num
         roi_size = 64 if is_256 else 48
         act = nn.relu
-        if cfg.train_pin_layouts:
-            from ..models.quant import _pin_layout
-            act = lambda t: _pin_layout(nn.relu(t))  # noqa: E731
         enc_cls = RoiEncoderFgBg if fg_bg else RoiEncoder
         if cfg.remat:  # --remat covers the encoder too (bs256 training
             enc_cls = nn.remat(enc_cls)  # OOMs by ~58M with gen-only remat)

@@ -490,7 +490,7 @@ def probe_oracle_train(batch):
     fast = "parity" not in flags
     cfg = Config(img_H=128, img_W=64, batch_size=batch,
                  compute_dtype="bfloat16", fast_gan_step=fast,
-                 remat="remat" in flags, train_pin_layouts="pin" in flags,
+                 remat="remat" in flags,
                  model_dir="/tmp/oracle_train")
     app = Stage1App(cfg)
     state = app.init_state(jax.random.PRNGKey(0))

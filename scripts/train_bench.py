@@ -50,7 +50,7 @@ def main() -> None:
     for bs in sizes:
         cfg = Config(img_H=h, img_W=w, batch_size=bs,
                      compute_dtype="bfloat16", fast_gan_step=fast,
-                     remat=remat, train_pin_layouts="pin" in flags,
+                     remat=remat,
                      model_dir="/tmp/train_bench")
         app = Stage1App(cfg)
         state = app.init_state(jax.random.PRNGKey(0))

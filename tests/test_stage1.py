@@ -67,27 +67,6 @@ def test_stage1_generate_and_transfer():
     assert float(jnp.min(out)) >= 0.0 and float(jnp.max(out)) <= 255.0
 
 
-def test_stage1_train_pin_layouts_is_exact():
-    """--train_pin_layouts wraps activations in a layout constraint (a
-    TPU-only identity op, models/quant.py _pin_layout); the train step
-    must be mathematically identical to the unpinned graph."""
-    batch = next(SyntheticLoader(8, 32, 16, seed=5))
-    jb = {k: jnp.asarray(v) for k, v in batch.items()}
-    rng = jax.random.PRNGKey(6)
-
-    sa, ma = Stage1App(small_cfg()).train_step(
-        Stage1App(small_cfg()).init_state(jax.random.PRNGKey(0)), jb, rng)
-    app_p = Stage1App(small_cfg(train_pin_layouts=True))
-    sp, mp = app_p.train_step(app_p.init_state(jax.random.PRNGKey(0)),
-                              jb, rng)
-    for k in ma:
-        np.testing.assert_allclose(float(ma[k]), float(mp[k]), rtol=1e-6,
-                                   err_msg=k)
-    for a, b in zip(jax.tree_util.tree_leaves(sa.g_params),
-                    jax.tree_util.tree_leaves(sp.g_params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
-
-
 def test_stage1_fast_gan_step_matches_g_update():
     """--fast_gan_step only changes which fakes D trains on (pre- vs
     post-update G); the G update itself must be IDENTICAL to parity mode,
