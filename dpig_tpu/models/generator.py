@@ -23,15 +23,23 @@ def _constant_input_stem(kernel, bias, embs, pose, dtype):
     position. The pose channels are convolved normally.
     """
     d = embs.shape[-1]
-    b = embs.shape[0]
     _, h, w, _p = pose.shape
-    hid = kernel.shape[-1]
-    k_emb = kernel[:, :, :d, :].astype(jnp.float32)       # [3,3,D,hid]
     k_pose = kernel[:, :, d:, :].astype(dtype)
 
     pose_part = jax.lax.conv_general_dilated(
         pose.astype(dtype), k_pose, (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return pose_part + _stem_bias_map(kernel, bias, embs, h, w, dtype)
+
+
+def _stem_bias_map(kernel, bias, embs, h, w, dtype):
+    """Constant-embedding contribution of the stem conv: the 9
+    border-class bias vectors selected per pixel (see
+    `_constant_input_stem`), plus the conv bias. Shared with the int8
+    stem in models/quant.py, whose pose conv runs s8 while this map
+    stays float."""
+    d = embs.shape[-1]
+    k_emb = kernel[:, :, :d, :].astype(jnp.float32)       # [3,3,D,hid]
 
     # T[r, c] = sum over taps valid for row-class r / col-class c.
     # row class 0 = top (kernel row 0 falls outside), 1 = interior,
@@ -66,7 +74,7 @@ def _constant_input_stem(kernel, bias, embs, pose, dtype):
     per_row = [sel_col(biases[:, r]) for r in range(3)]      # [B,1,W,hid]*3
     bias_map = jnp.where(row == 0, per_row[0],
                          jnp.where(row == h - 1, per_row[2], per_row[1]))
-    return pose_part + bias_map + bias.astype(dtype)
+    return bias_map + bias.astype(dtype)
 
 
 class UAEGenerator(nn.Module):

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..ops import wino
 from ..ops.image import upscale_nn
-from .generator import _constant_input_stem
+from .generator import _constant_input_stem, _stem_bias_map
 
 _REL = jax.nn.relu
 
@@ -146,6 +146,10 @@ def uae_forward(params, embs, pose, repeat_num: int, hidden_num: int,
                                      -> int8 conv path + conv-then-upscale;
                                         layers in 'wino' run the F(2x2,3x3)
                                         transform-domain path (ops/wino.py).
+                                        A 'g_stem' weight entry (chained
+                                        path only) runs the stem's pose
+                                        conv in s8 — lossless on real
+                                        {-1,+1} pose maps.
     """
     if (quant is not None and chained and not collect_stats
             and not quant.get("wino")):
@@ -198,7 +202,10 @@ def uae_forward(params, embs, pose, repeat_num: int, hidden_num: int,
                         tree["bias"].astype(dtype), stride)
         return _REL(out) if act else out
 
-    # stem (bf16/f32; pose conv + constant-embedding bias)
+    # stem: pose conv + constant-embedding bias. The chained path runs it
+    # int8 ('g_stem'); this legacy/stats path keeps it bf16/f32 but still
+    # records the pose input stats so the chained table can be built.
+    record("g_stem", pose)
     x = _REL(_constant_input_stem(params["stem_kernel"],
                                   params["stem_bias"], embs, pose, dtype))
 
@@ -339,10 +346,25 @@ def _uae_forward_int8(params, embs, pose, repeat_num: int, hidden_num: int,
     # scale of the concat consumed by decoder block idx's first conv
     dec_a_scale = [s[f"dec/{dec_names[3 * i]}"] for i in range(repeat_num)]
 
-    # stem (bf16; pose conv + constant-embedding bias), quantized once
-    x_bf = _REL(_constant_input_stem(params["stem_kernel"],
-                                     params["stem_bias"], embs, pose,
-                                     jnp.bfloat16))
+    # stem: pose conv + constant-embedding bias map. Rendered pose maps
+    # are exactly {-1,+1} (ops/pose.py render_pose_maps), so their absmax
+    # is 1 and the s8 quantization at the calibrated scale is LOSSLESS —
+    # the int8 stem's only error is weight rounding, like every other
+    # layer. The bias map stays float and fuses into the conv epilogue.
+    if "g_stem" in W:
+        _, h, w, _ = pose.shape
+        w8, w_scale = W["g_stem"]
+        q8 = _quantize(pose, s["g_stem"])
+        acc = _qconv_raw(q8, w8)
+        factor = w_scale if folded else (s["g_stem"] * w_scale)
+        x_bf = _REL(acc.astype(jnp.float32) * factor
+                    + _stem_bias_map(params["stem_kernel"],
+                                     params["stem_bias"], embs, h, w,
+                                     jnp.float32))
+    else:
+        x_bf = _REL(_constant_input_stem(params["stem_kernel"],
+                                         params["stem_bias"], embs, pose,
+                                         jnp.bfloat16))
     q = for_consumer(x_bf, f"enc/{enc_names[0]}", s[f"enc/{enc_names[0]}"])
 
     enc = params["ConvBlockTower_0"]
@@ -505,10 +527,13 @@ def _quantize_kernel(kernel, act_scale=None):
 
 
 def quantize_weights(params, repeat_num: int,
-                     fold_act_scales: Optional[Dict] = None) -> Dict:
-    """int8 weights for all tower/decoder convs and to_rgb (stem +
-    denses stay float); see _quantize_kernel for the optional
-    per-channel activation-scale fold."""
+                     fold_act_scales: Optional[Dict] = None,
+                     emb_dim: Optional[int] = None) -> Dict:
+    """int8 weights for all tower/decoder convs, to_rgb, and — when
+    `emb_dim` is given — the stem's pose-part kernel ('g_stem'; the
+    constant-embedding part stays float, see _stem_bias_map). The denses
+    stay float. See _quantize_kernel for the optional per-channel
+    activation-scale fold."""
     weights = {}
     q = _quantize_kernel
     fold = fold_act_scales or {}
@@ -519,6 +544,9 @@ def quantize_weights(params, repeat_num: int,
         weights[f"dec/{name}"] = q(params[name]["kernel"],
                                    fold.get(f"dec/{name}"))
     weights["to_rgb"] = q(params["to_rgb"]["kernel"], fold.get("to_rgb"))
+    if emb_dim is not None:
+        weights["g_stem"] = q(params["stem_kernel"][:, :, emb_dim:, :],
+                              fold.get("g_stem"))
     return weights
 
 
@@ -708,7 +736,8 @@ class QuantizedGenerator:
             calib_granularity=self.calib_granularity)
         weights = quantize_weights(
             self.params, self.repeat_num,
-            fold_act_scales=act_scales if per_channel else None)
+            fold_act_scales=act_scales if per_channel else None,
+            emb_dim=int(embs_batches[0].shape[-1]))
         valid = set(weights)
         unknown = self.bf16_layers - valid
         if unknown:

@@ -376,7 +376,8 @@ def test_per_channel_uniform_fold_is_bitwise_per_tensor():
         vec_scales[name] = np.full((ci,), float(qt.quant["act_scales"][name]),
                                    np.float32)
     weights = quant.quantize_weights(params, REPEAT,
-                                     fold_act_scales=vec_scales)
+                                     fold_act_scales=vec_scales,
+                                     emb_dim=embs.shape[-1])
     qc = {"weights": weights,
           "act_scales": {k: jnp.asarray(v) for k, v in vec_scales.items()},
           "wino": {}, "act_folded": jnp.int8(1)}
@@ -475,19 +476,67 @@ def test_island_fallback_matches_legacy_quality():
         out_q, _ = q(embs, pose)
         return np.abs(np.asarray(out_q) - out_f).mean()
 
-    e_chained = err()
+    # pin the stem bf16 in every variant: this test isolates the TAIL
+    # routing difference, and the legacy route structurally never runs
+    # the int8 stem (chained-only), so an int8 stem on the island side
+    # would add an error source legacy cannot have. _setup's pose is
+    # random-normal — on real {-1,+1} pose maps the stem quantization is
+    # lossless (test_int8_stem_lossless_on_real_pose_maps).
+    stem_bf = ["g_stem"]
+    e_chained = err(bf16_layers=frozenset(stem_bf), fallback_mode="island")
     e_legacy = err(bf16_layers=frozenset(tail))
-    e_island = err(bf16_layers=frozenset(tail), fallback_mode="island")
+    e_island = err(bf16_layers=frozenset(tail + stem_bf),
+                   fallback_mode="island")
     # island must recover most of the legacy fallback's quality gain
     assert e_island < e_chained * 0.75, (e_island, e_chained)
     assert e_island < e_legacy * 1.35, (e_island, e_legacy)
 
     # encoder-side island (tests bf16 skips + downsample pass-through)
-    enc_island = ["enc/Conv_0", "enc/Conv_1", "enc/Conv_2"]
+    enc_island = ["enc/Conv_0", "enc/Conv_1", "enc/Conv_2"] + stem_bf
     e_enc = err(bf16_layers=frozenset(enc_island), fallback_mode="island")
     assert np.isfinite(e_enc) and e_enc < e_chained * 1.2, (e_enc, e_chained)
 
     # island mode with per-channel folded calibration still runs
-    e_ch = err(bf16_layers=frozenset(tail), fallback_mode="island",
-               calib_granularity="channel")
+    e_ch = err(bf16_layers=frozenset(tail + stem_bf),
+               fallback_mode="island", calib_granularity="channel")
     assert e_ch < e_chained * 0.9, (e_ch, e_chained)
+
+
+def test_int8_stem_lossless_on_real_pose_maps():
+    """Rendered pose maps are exactly {-1,+1} (render_pose_maps), so the
+    stem's input quantization at the calibrated absmax scale (=1/127) is
+    LOSSLESS: the chained graph with the int8 stem must sit at the same
+    error-vs-float level as the same graph with the stem forced bf16
+    (island fallback) — only weight rounding differs."""
+    from dpig_tpu.ops.pose import render_pose_maps
+
+    rng = np.random.default_rng(23)
+    gen, params, embs, _ = _setup(rng)
+    rcv = np.zeros((B, 18, 3), np.float32)
+    rcv[..., 0] = rng.uniform(0, H, (B, 18))
+    rcv[..., 1] = rng.uniform(0, W, (B, 18))
+    rcv[..., 2] = 1.0
+    pose = render_pose_maps(jnp.asarray(rcv.reshape(B, -1)), H, W,
+                            18, radius=2, normalized=False)
+    assert set(np.unique(np.asarray(pose))) <= {-1.0, 1.0}
+
+    q = quant.QuantizedGenerator(params, REPEAT, HID)
+    q.calibrate([embs], [pose])
+    assert "g_stem" in q.quant["weights"]
+    w8, w_scale = q.quant["weights"]["g_stem"]
+    assert w8.shape == (3, 3, 18, HID)
+    # the calibrated pose scale quantizes {-1,+1} exactly
+    s = np.asarray(q.quant["act_scales"]["g_stem"])
+    np.testing.assert_allclose(np.round(np.asarray(pose) / s) * s,
+                               np.asarray(pose), rtol=0, atol=1e-6)
+
+    out_f = np.asarray(quant.uae_forward(params, embs, pose, REPEAT, HID)[0])
+    e_stem8 = np.abs(np.asarray(q(embs, pose)[0]) - out_f).mean()
+    q_bf = quant.QuantizedGenerator(params, REPEAT, HID,
+                                    bf16_layers=frozenset(["g_stem"]),
+                                    fallback_mode="island")
+    q_bf.calibrate([embs], [pose])
+    e_stembf = np.abs(np.asarray(q_bf(embs, pose)[0]) - out_f).mean()
+    # int8 stem adds only weight rounding: stay within 10% of the
+    # bf16-stem chained error
+    assert e_stem8 < e_stembf * 1.10 + 1e-6, (e_stem8, e_stembf)
