@@ -102,6 +102,27 @@ class Stage2AppApp:
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_step(self, state: GanState, batch: Dict[str, jax.Array],
                    rng: jax.Array) -> Tuple[GanState, Dict[str, jax.Array]]:
+        """Default fused step: critic iterations reuse the step's batch
+        (fresh mapper noise per iteration). Measured equivalent to the
+        reference's fresh-queue-batch critics — scripts/critic_batch_ab.py
+        — which remain available via train_step_fresh."""
+        return self._step_impl(state, batch, rng, None)
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step_fresh(self, state: GanState, batches,
+                         rng: jax.Array
+                         ) -> Tuple[GanState, Dict[str, jax.Array]]:
+        """Reference queue semantics (trainer.py:821-845): every critic
+        sess.run pulls its own input batch. `batches` is a sequence of
+        1 + CRITIC_ITERS batch dicts; batches[0] feeds the G update and
+        the hist summaries, batches[1:] feed the critic iterations."""
+        critic_reals = [self.real_embs(state.frozen_params, b)
+                        for b in batches[1:]]
+        return self._step_impl(state, batches[0], rng, critic_reals)
+
+    def _step_impl(self, state: GanState, batch: Dict[str, jax.Array],
+                   rng: jax.Array, critic_reals
+                   ) -> Tuple[GanState, Dict[str, jax.Array]]:
         b = batch["x"].shape[0]
         real_fg, real_bg = self.real_embs(state.frozen_params, batch)
         rngs = jax.random.split(rng, 2 + 2 * gan.CRITIC_ITERS)
@@ -125,11 +146,13 @@ class Stage2AppApp:
             fg_fake, bg_fake = self.sample_embs(state.g_params, rngs[2 + i], b)
             fg_fake = jax.lax.stop_gradient(fg_fake)
             bg_fake = jax.lax.stop_gradient(bg_fake)
+            it_real_fg, it_real_bg = (critic_reals[i] if critic_reals
+                                      else (real_fg, real_bg))
 
             def d_loss_fn(d_params):
-                dr_fg = self.disc_fg.apply({"params": d_params["Fg_FCDis"]}, real_fg)
+                dr_fg = self.disc_fg.apply({"params": d_params["Fg_FCDis"]}, it_real_fg)
                 df_fg = self.disc_fg.apply({"params": d_params["Fg_FCDis"]}, fg_fake)
-                dr_bg = self.disc_bg.apply({"params": d_params["Bg_FCDis"]}, real_bg)
+                dr_bg = self.disc_bg.apply({"params": d_params["Bg_FCDis"]}, it_real_bg)
                 df_bg = self.disc_bg.apply({"params": d_params["Bg_FCDis"]}, bg_fake)
                 l_fg = gan.d_loss(GAN_MODE, dr_fg, df_fg)
                 l_bg = gan.d_loss(GAN_MODE, dr_bg, df_bg)

@@ -90,3 +90,47 @@ def test_stage2_app_single_mapper_df():
     out = app.preview_step(state, {k: jnp.asarray(v) for k, v in batch.items()},
                            jax.random.PRNGKey(9))
     assert out.shape == (cfg.batch_size, cfg.img_H, cfg.img_W, 3)
+
+
+def test_stage2_fresh_critic_batches_identical_when_same_batch():
+    """train_step_fresh (reference queue semantics, trainer.py:821-845)
+    must equal the fused reused-batch step bitwise when every critic
+    'fresh' batch IS the step batch — pins that the only difference
+    between the modes is which real samples the critics see."""
+    cfg = small_cfg()
+    app = Stage2AppApp(cfg)
+    state_a = app.init_state(jax.random.PRNGKey(0))
+    state_b = app.init_state(jax.random.PRNGKey(0))
+    batch = {k: jnp.asarray(v) for k, v in
+             next(SyntheticLoader(cfg.batch_size, cfg.img_H, cfg.img_W,
+                                  seed=11)).items()}
+    from dpig_tpu.losses import gan
+    r = jax.random.PRNGKey(4)
+    state_a, m_a = app.train_step(state_a, dict(batch), r)
+    state_b, m_b = app.train_step_fresh(
+        state_b, [dict(batch) for _ in range(1 + gan.CRITIC_ITERS)], r)
+    for k in m_a:
+        np.testing.assert_array_equal(np.asarray(m_a[k]),
+                                      np.asarray(m_b[k]), err_msg=k)
+    for la, lb in zip(jax.tree_util.tree_leaves((state_a.g_params,
+                                                 state_a.d_params)),
+                      jax.tree_util.tree_leaves((state_b.g_params,
+                                                 state_b.d_params))):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_stage2_fresh_critic_batches_distinct_runs():
+    """Fresh mode with genuinely distinct critic batches runs and stays
+    finite + clipped (the mode scripts/critic_batch_ab.py measures)."""
+    cfg = small_cfg()
+    app = Stage2AppApp(cfg)
+    state = app.init_state(jax.random.PRNGKey(0))
+    from dpig_tpu.losses import gan
+    loader = SyntheticLoader(cfg.batch_size, cfg.img_H, cfg.img_W, seed=12)
+    bs = [{k: jnp.asarray(v) for k, v in next(loader).items()}
+          for _ in range(1 + gan.CRITIC_ITERS)]
+    state, m = app.train_step_fresh(state, bs, jax.random.PRNGKey(5))
+    for k, v in m.items():
+        assert np.all(np.isfinite(np.asarray(v))), k
+    for leaf in jax.tree_util.tree_leaves(state.d_params):
+        assert float(jnp.max(jnp.abs(leaf))) <= 0.01 + 1e-6
