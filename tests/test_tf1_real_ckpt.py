@@ -189,6 +189,12 @@ def real_ckpt(tmp_path_factory):
         with tf1.variable_scope("Gaussian_FC_Fg"):
             m_out = _fcres_graph(tf.constant(inputs["z_map"]), 7,
                                  repeat_num=4, hidden_num=16, scope="G_FC")
+        with tf1.variable_scope("Gaussian_FC_Bg"):
+            mb_out = _fcres_graph(tf.constant(inputs["z_map"]), 8,
+                                  repeat_num=4, hidden_num=16, scope="G_FC")
+        with tf1.variable_scope("PoseGaussian"):
+            pg_out = _fcres_graph(tf.constant(inputs["pz"]), Z,
+                                  repeat_num=4, hidden_num=16, scope="G_FC")
         with tf1.variable_scope("PoseAE"):
             pe_out = _fcres_graph(tf.constant(inputs["rcv"]), Z,
                                   repeat_num=4, hidden_num=16,
@@ -204,6 +210,7 @@ def real_ckpt(tmp_path_factory):
         with tf1.Session() as sess:
             sess.run(tf1.global_variables_initializer())
             outs = sess.run({"g": g_out, "g_z": g_z, "mapper": m_out,
+                             "mapper_bg": mb_out, "pose_gauss": pg_out,
                              "pe": pe_out, "pd_coords": pd_coords,
                              "pd_vis": pd_vis, "d": d_out})
             path = str(tmp_path_factory.mktemp("tf1") / "model.ckpt")
@@ -285,3 +292,95 @@ def test_discriminator_roundtrip(real_ckpt):
                      mutable=["batch_stats"])
     np.testing.assert_allclose(np.asarray(got), outs["d"],
                                rtol=1e-3, atol=1e-3)
+
+
+def test_full_bundle_composed_restore(real_ckpt, tmp_path):
+    """The full published-checkpoint workflow (VERDICT r3 item 9): a real
+    TF1 checkpoint is imported subnet-by-subnet (the tf1_import CLI
+    flow), each subnet saved as its own orbax checkpoint — one per
+    reference training stage — and the four --pretrained_* flags are
+    composed through train/checkpoint.py compose_pretrained exactly as
+    the model-11 tester does (tester.py:259-309). Asserts the merged
+    tree is bitwise the imported values and still reproduces the TF1
+    session's forwards."""
+    import types
+
+    from dpig_tpu.config import Config
+    from dpig_tpu.models.mappers import GaussianMapper
+    from dpig_tpu.models.pose_ae import PoseDecoderFC, PoseEncoderFC
+    from dpig_tpu.train import checkpoint as ckpt
+
+    path, inputs, outs = real_ckpt
+    gen, uae_t = _uae_template()
+    m_fg = GaussianMapper(out_dim=7, repeat_num=4, hidden_num=16)
+    m_bg = GaussianMapper(out_dim=8, repeat_num=4, hidden_num=16)
+    m_pg = GaussianMapper(out_dim=4, repeat_num=4, hidden_num=16)
+    t_fg = jax.jit(m_fg.init)(jax.random.PRNGKey(0),
+                              jnp.zeros((2, 5)))["params"]
+    t_bg = jax.jit(m_bg.init)(jax.random.PRNGKey(1),
+                              jnp.zeros((2, 5)))["params"]
+    t_pg = jax.jit(m_pg.init)(jax.random.PRNGKey(2),
+                              jnp.zeros((2, 4)))["params"]
+    enc = PoseEncoderFC(z_num=4, repeat_num=4, hidden_num=16)
+    dec = PoseDecoderFC(keypoint_num=3, repeat_num=4, hidden_num=16)
+    t_pe = jax.jit(enc.init)(jax.random.PRNGKey(3),
+                             jnp.zeros((2, 9)))["params"]
+    t_pd = jax.jit(dec.init)(jax.random.PRNGKey(4),
+                             jnp.zeros((2, 4)))["params"]
+
+    imported = import_checkpoint(
+        path, {"ID_AE": uae_t, "Gaussian_FC_Fg": t_fg,
+               "Gaussian_FC_Bg": t_bg, "PoseGaussian": t_pg,
+               "PoseAE": {"G_Pose_Encoder": t_pe, "G_Pose_Decoder": t_pd}})
+    assert set(imported) == {"ID_AE", "Gaussian_FC_Fg", "Gaussian_FC_Bg",
+                             "PoseGaussian", "PoseAE"}
+
+    # the fixture has no Encoder scope — like the CLI, the stage-1
+    # checkpoint carries a (random) template for it
+    rng = np.random.default_rng(9)
+    enc_random = {"Conv_0": {"kernel": rng.normal(
+        0, 0.1, (3, 3, 3, 4)).astype(np.float32)}}
+
+    def save_stage(name, g_params):
+        state = types.SimpleNamespace(
+            step=0, g_params=g_params, d_params=None, g_opt_state=None,
+            d_opt_state=None, d_stats=None, frozen_params=None)
+        return ckpt.save_checkpoint(str(tmp_path / name), 0, state)
+
+    p1 = save_stage("s1", {"Encoder": enc_random,
+                           "ID_AE": imported["ID_AE"]})
+    p2 = save_stage("s2", {"PoseAE": imported["PoseAE"]})
+    p3 = save_stage("s3", {"Gaussian_FC_Fg": imported["Gaussian_FC_Fg"],
+                           "Gaussian_FC_Bg": imported["Gaussian_FC_Bg"]})
+    p4 = save_stage("s4", {"PoseGaussian": imported["PoseGaussian"]})
+
+    cfg = Config(pretrained_path=p1, pretrained_poseAE_path=p2,
+                 pretrained_appSample_path=p3, pretrained_poseSample_path=p4)
+    merged = ckpt.compose_pretrained(cfg)
+    assert set(merged) == {"Encoder", "ID_AE", "PoseAE", "Gaussian_FC_Fg",
+                           "Gaussian_FC_Bg", "PoseGaussian"}
+
+    # bitwise round trip through orbax + composition
+    want = {"Encoder": enc_random, **imported}
+    flat_w = jax.tree_util.tree_leaves_with_path(want)
+    flat_m = dict(jax.tree_util.tree_leaves_with_path(merged))
+    assert len(flat_w) == len(flat_m)
+    for kpath, leaf in flat_w:
+        np.testing.assert_array_equal(np.asarray(flat_m[kpath]),
+                                      np.asarray(leaf),
+                                      err_msg=str(kpath))
+
+    # composed trees still drive the forwards to the TF1 session outputs
+    got, got_z = gen.apply({"params": merged["ID_AE"]}, None,
+                           jnp.asarray(inputs["pose"]),
+                           embs_const=jnp.asarray(inputs["embs"]))
+    np.testing.assert_allclose(np.asarray(got), outs["g"],
+                               rtol=1e-3, atol=1e-4)
+    got_bg = m_bg.apply({"params": merged["Gaussian_FC_Bg"]},
+                        jnp.asarray(inputs["z_map"]))
+    np.testing.assert_allclose(np.asarray(got_bg), outs["mapper_bg"],
+                               rtol=1e-4, atol=1e-5)
+    got_pg = m_pg.apply({"params": merged["PoseGaussian"]},
+                        jnp.asarray(inputs["pz"]))
+    np.testing.assert_allclose(np.asarray(got_pg), outs["pose_gauss"],
+                               rtol=1e-4, atol=1e-5)
