@@ -49,22 +49,34 @@ def train(steps: int, model_dir: str, pool_size: int = 64,
     cfg = Config(**base)
     app = Stage1App(cfg)
     state = app.init_state(jax.random.PRNGKey(0))
+    # resume from the newest checkpoint if one exists — long gate runs
+    # (20k steps ≈ 70 min on chip) must survive TPU outages / VM restarts
+    start = 0
+    path = ckpt.latest_checkpoint(model_dir)
+    if path is not None:
+        state = ckpt.restore_into_state(path, state)
+        start = int(path.rsplit("_", 1)[-1])
+        print(f"[*] resuming from {path} (step {start})", flush=True)
     loader = SyntheticLoader(cfg.batch_size, cfg.img_H, cfg.img_W, seed=123)
     pool = [{k: jnp.asarray(v) for k, v in next(loader).items()}
             for _ in range(pool_size)]
     rng = jax.random.PRNGKey(1)
     t0 = time.perf_counter()
-    for i in range(steps):
+    for i in range(start, steps):
         state, m = app.train_step(state, pool[i % pool_size],
                                   jax.random.fold_in(rng, i))
         if i % 200 == 199 or i == steps - 1:
             g = float(m["g_loss"])
             assert np.isfinite(g), (i, m)
-            rate = (i + 1) * cfg.batch_size / (time.perf_counter() - t0)
+            rate = ((i + 1 - start) * cfg.batch_size
+                    / (time.perf_counter() - t0))
             print(f"[{i}] g_loss={g:.4f} "
                   f"L1={float(m['L1Loss']):.4f} "
                   f"d={float(m['d_loss']):.4f} {rate:.0f} img/s",
                   flush=True)
+        if (i + 1) % 4000 == 0 and i + 1 < steps:
+            ckpt.save_checkpoint(model_dir, i + 1, state)
+            print(f"[*] periodic checkpoint at step {i + 1}", flush=True)
     ckpt.save_checkpoint(model_dir, steps, state)
     print(f"[*] saved step-{steps} checkpoint under {model_dir}")
 
