@@ -170,10 +170,21 @@ def uae_forward(params, embs, pose, repeat_num: int, hidden_num: int,
                 return
             if calib_hist_ranges is not None:
                 # entropy-calibration pass 2: |x| histogram over the
-                # pass-1 absmax range (scale picked by KL search later)
-                stats[name] = jnp.histogram(
-                    a.ravel(), bins=_HIST_BINS,
-                    range=(0.0, calib_hist_ranges[name]))[0]
+                # pass-1 absmax range (scale picked by KL search later).
+                # Uniform-bin scatter-add instead of jnp.histogram: the
+                # searchsorted-based lowering reproducibly kernel-faults
+                # the TPU worker on 64M-element activations (two crashes
+                # at the same spot, r4). Strided subsample caps the
+                # scatter at ~4M elements/layer — the KL threshold is a
+                # distribution statistic, unaffected beyond noise.
+                flat = a.ravel()
+                stride = max(1, flat.size // (1 << 22))
+                flat = flat[::stride]
+                idx = jnp.clip(
+                    (flat * (_HIST_BINS / calib_hist_ranges[name])
+                     ).astype(jnp.int32), 0, _HIST_BINS - 1)
+                stats[name] = jnp.zeros((_HIST_BINS,), jnp.int32
+                                        ).at[idx].add(1)
                 return
             # absmax by default; percentile clipping (e.g. 99.9) trades a
             # little saturation for finer quantization steps

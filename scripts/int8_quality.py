@@ -229,21 +229,28 @@ def sweep(model_dir: str, n_batches: int = 4,
     configs = [
         ("absmax", {}),
         ("percentile 99.9", {"percentile": 99.9, "method": "percentile"}),
-        ("entropy", {"method": "entropy"}),
         ("per-channel", {"method": "channel"}),
         ("absmax + tail-fallback",
          {"fallback": f"dec/Conv_{last - 1},dec/Conv_{last},to_rgb"}),
         ("tail-fallback (island)",
          {"fallback": f"dec/Conv_{last - 1},dec/Conv_{last},to_rgb",
           "fallback_mode": "island"}),
+        # entropy LAST: its histogram pass once kernel-faulted the TPU
+        # worker (fixed in quant.py r4, but a crash here must not cost
+        # the other rows)
+        ("entropy", {"method": "entropy"}),
     ]
     ctx = _gate_context(model_dir, n_batches, cfg_overrides)
     rows = []
     for label, kw in configs:
         print(f"\n=== {label}")
-        rows.append((label, check(model_dir, n_batches=n_batches,
-                                  cfg_overrides=cfg_overrides, ctx=ctx,
-                                  **kw)))
+        try:
+            rows.append((label, check(model_dir, n_batches=n_batches,
+                                      cfg_overrides=cfg_overrides, ctx=ctx,
+                                      **kw)))
+        except Exception as e:  # noqa: BLE001 — one scheme must not
+            print(f"[!] {label} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:200]}")  # kill the rest of the sweep
     print(f"\n{'scheme':24s} {'SSIM(int8,float)':>17s} {'to-target Δ':>12s}")
     for label, r in rows:
         print(f"{label:24s} {r['ssim_int8_float']:17.4f} "
