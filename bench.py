@@ -93,16 +93,32 @@ def main() -> None:
                                   (cb, emb_dim)) * 0.2
         # optional 5th arg: calibration granularity/scheme ('channel'
         # folds per-input-channel scales into the weights — same chained
-        # graph, measures whether the fold is throughput-neutral)
+        # graph, measures whether the fold is throughput-neutral), or a
+        # routing A/B mode: 'wino' runs the dec3/dec4 3x3 convs through
+        # the F(2x2,3x3) transform-domain int8 path (ops/wino.py; forces
+        # the legacy per-layer-quant graph), 'legacy' runs the same
+        # legacy graph WITHOUT wino — the pair isolates wino's conv-math
+        # delta from the chained-vs-legacy routing delta.
         calib = sys.argv[5] if len(sys.argv) > 5 else "absmax"
-        assert calib in ("absmax", "entropy", "channel"), \
+        assert calib in ("absmax", "entropy", "channel", "wino", "legacy"), \
             f"unknown calibration scheme {calib!r}"
+        wino_layers = frozenset()
+        if calib == "wino":
+            last = 3 * gen_repeat - 2
+            wino_layers = frozenset(
+                f"dec/Conv_{i}" for i in (last - 4, last - 3, last - 1, last))
         q = quant_mod.QuantizedGenerator(
             gen_params, gen_repeat, cfg.conv_hidden_num,
             calib_granularity="channel" if calib == "channel" else "tensor",
-            calib_method="absmax" if calib == "channel" else calib)
+            calib_method="absmax" if calib in ("channel", "wino", "legacy")
+            else calib,
+            wino_layers=wino_layers)
         q.calibrate([embs0], [pose0])
         quant_tables = q.quant
+        if calib == "legacy":
+            # truthy 'wino' entry that matches no layer name: uae_forward
+            # takes the legacy graph with every conv on the direct path
+            quant_tables = dict(quant_tables, wino={"__legacy__": None})
 
     # NOTE: params/quant tables are jit ARGUMENTS, not closure constants —
     # constant-embedded weights exceed remote-compile payload limits.
