@@ -99,23 +99,34 @@ def main() -> None:
         # the legacy per-layer-quant graph), 'legacy' runs the same
         # legacy graph WITHOUT wino — the pair isolates wino's conv-math
         # delta from the chained-vs-legacy routing delta.
-        calib = sys.argv[5] if len(sys.argv) > 5 else "absmax"
-        assert calib in ("absmax", "entropy", "channel", "wino", "legacy"), \
+        # default matches the shipping default (--int8_calibration=channel:
+        # per-input-channel absmax folded into the weights — graph-identical
+        # to per-tensor, measured throughput-neutral 4512 vs 4456 img/s,
+        # and the measured quality winner at training depth)
+        # 'island_tail' / 'legacy_tail' run the decoder-tail bf16 fallback
+        # (dec/Conv_{last-1}, dec/Conv_{last}, to_rgb — the quality-sweep
+        # configuration) through each routing, measuring the island mode's
+        # claimed chained-throughput retention vs the legacy ~10% tax.
+        calib = sys.argv[5] if len(sys.argv) > 5 else "channel"
+        assert calib in ("absmax", "entropy", "channel", "wino", "legacy",
+                         "island_tail", "legacy_tail"), \
             f"unknown calibration scheme {calib!r}"
+        last = 3 * gen_repeat - 2
         wino_layers = frozenset()
         if calib == "wino":
-            last = 3 * gen_repeat - 2
             wino_layers = frozenset(
                 f"dec/Conv_{i}" for i in (last - 4, last - 3, last - 1, last))
+        tail = frozenset([f"dec/Conv_{last - 1}", f"dec/Conv_{last}",
+                          "to_rgb"])
         q = quant_mod.QuantizedGenerator(
             gen_params, gen_repeat, cfg.conv_hidden_num,
             calib_granularity="channel" if calib == "channel" else "tensor",
-            calib_method="absmax" if calib in ("channel", "wino", "legacy")
-            else calib,
+            calib_method=calib if calib in ("absmax", "entropy") else "absmax",
+            bf16_layers=tail if calib.endswith("_tail") else frozenset(),
             wino_layers=wino_layers)
         q.calibrate([embs0], [pose0])
         quant_tables = q.quant
-        if calib == "legacy":
+        if calib in ("legacy", "legacy_tail"):
             # truthy 'wino' entry that matches no layer name: uae_forward
             # takes the legacy graph with every conv on the direct path
             quant_tables = dict(quant_tables, wino={"__legacy__": None})
@@ -169,10 +180,17 @@ def main() -> None:
     args = (gen_params, quant_tables, mf, mb, pose_rcv,
             jax.random.PRNGKey(2))
     _ = np.asarray(gen_chain(*args, 1)[0, 0, 0])  # compile + force
-    t0 = time.perf_counter()
-    out = gen_chain(*args, n_iters)
-    _ = np.asarray(out[0, 0, 0])
-    dt = time.perf_counter() - t0
+    # Best of 3 timed windows: each window is a self-contained chained
+    # fori_loop of n_iters full serving steps (nothing elidable), so the
+    # min-time window is the standard way to strip host-side jitter —
+    # measured run-to-run spread on this remote-tunnel host is +-3%
+    # (docs/BENCH_NOTES.md), far above the device's own variance.
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = gen_chain(*args, n_iters)
+        _ = np.asarray(out[0, 0, 0])
+        dt = min(dt, time.perf_counter() - t0)
 
     imgs_per_sec = n_iters * batch_size / dt
     print(json.dumps({

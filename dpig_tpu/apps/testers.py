@@ -41,7 +41,7 @@ from .stage2_pose import POSE_Z
 
 def _parse_int8_calibration(cfg):
     """--int8_calibration -> QuantizedGenerator calibration kwargs."""
-    spec = getattr(cfg, "int8_calibration", "absmax") or "absmax"
+    spec = getattr(cfg, "int8_calibration", "channel") or "channel"
     if spec.startswith("percentile:"):
         return {"calib_method": "percentile",
                 "calib_percentile": float(spec.split(":", 1)[1])}
@@ -155,7 +155,7 @@ class _TesterBase:
             # keeps the chained graph with exact-bf16 islands
             # (QuantizedGenerator docstring)
             _, gen_fb = _parse_int8_fallback(self.cfg)
-            island = (getattr(self.cfg, "int8_fallback_mode", "legacy")
+            island = (getattr(self.cfg, "int8_fallback_mode", "island")
                       == "island")
             g_raw, _ = quant_mod.uae_forward(
                 params["ID_AE"], embs, pose_maps, gen_repeat,
@@ -232,6 +232,25 @@ class _TesterBase:
         params["_quant_gen"] = qg.quant
         print(f"[*] {type(self).__name__}: int8 PTQ inference "
               f"(calibrated on the first batch)", flush=True)
+        if getattr(cfg, "int8_selfcheck", True):
+            # one-time PTQ fidelity print on the calibration batch, so a
+            # serving operator sees int8-vs-float SSIM on THEIR checkpoint
+            # at startup (the deploy gate's metric — README calibration
+            # table; disable with --int8_selfcheck=false). Costs one float
+            # forward outside the serving loop.
+            from ..models.quant import uae_forward
+            g_q = np.asarray(self._generate(params, embs, pose))
+            g_f = np.asarray(jax.jit(functools.partial(
+                uae_forward, repeat_num=gen_repeat,
+                hidden_num=cfg.conv_hidden_num))(
+                    params["ID_AE"], embs, pose)[0])
+            to255 = lambda a: np.clip((a + 1.0) * 127.5, 0, 255)  # noqa: E731
+            fidelity = float(ssim_images(to255(g_q), to255(g_f)).mean())
+            print(f"[*] int8 self-check: SSIM(int8,float)={fidelity:.4f} "
+                  f"on the calibration batch "
+                  f"(shipping-default reference: >=0.98; see README "
+                  f"calibration table / scripts/int8_quality.py gate)",
+                  flush=True)
         return params
 
     def _sampled_calib_embs(self, params, b: int, rng):

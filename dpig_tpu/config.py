@@ -119,12 +119,27 @@ class Config:
     # tensors, ~10% slower); 'island' keeps the s8-chained graph and runs
     # the fallback layers as exact-bf16 islands inside it (chained
     # throughput; consecutive fallback layers pass bf16 between them).
-    int8_fallback_mode: str = "legacy"  # 'legacy' | 'island'
-    # Activation-calibration scheme for the int8 generator: 'absmax'
-    # (default), 'percentile:99.9', 'entropy' (KL threshold search), or
-    # 'channel' (per-input-channel absmax folded into the weights — same
-    # chained graph and throughput, finer steps per channel).
-    int8_calibration: str = "absmax"
+    # 'island' is the default: at the 20k-step quality sweep the island
+    # tail-fallback matched legacy-routed quality (SSIM(int8,float)
+    # 0.9634 vs 0.9641, to-target delta -0.0005 vs -0.0006), and it keeps
+    # a single (chained) graph. Throughput between the two routings is
+    # neutral for the decoder-tail fallback (3294 vs 3373 img/s bs512 —
+    # the bf16 fallback convs dominate, not the routing); island wins
+    # when the fallback names are CHEAP layers, since full legacy routing
+    # costs ~19% even all-int8 (3614 vs 4452, bench.py legacy mode).
+    int8_fallback_mode: str = "island"  # 'island' | 'legacy'
+    # Activation-calibration scheme for the int8 generator: 'channel'
+    # (per-input-channel absmax folded into the weights — same chained
+    # graph and throughput; the measured default: SSIM(int8,float)
+    # 0.9941@2k / 0.9865@20k training steps vs absmax 0.9457/0.7758,
+    # to-target delta +0.0000 at both depths), 'absmax',
+    # 'percentile:99.9', or 'entropy' (KL threshold search; measured
+    # worse than absmax at every depth).
+    int8_calibration: str = "channel"
+    # One-time PTQ fidelity print at tester startup: SSIM(int8,float) on
+    # the calibration batch (one extra float forward, outside the
+    # serving loop). The operator-facing twin of int8_quality.py gate.
+    int8_selfcheck: bool = True
     # Model-11 pose selection override. '' derives from --sample_pose:
     # False -> 'real', True -> 'reconstructed' (the reference quirk:
     # tester.py:93-95/341-343 decodes the AE embedding of the real pose,

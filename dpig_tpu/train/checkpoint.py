@@ -49,14 +49,32 @@ def latest_checkpoint(model_dir: str) -> Optional[str]:
     return os.path.join(root, steps[-1]) if steps else None
 
 
+def resolve_checkpoint(path: str) -> str:
+    """Accept either a checkpoint step directory or a model_dir.
+
+    The reference's --pretrained_* flags take a model DIRECTORY and
+    resolve the newest checkpoint inside it (tf.train.latest_checkpoint,
+    trainer.py restore path); mirror that: a path that is not itself an
+    orbax checkpoint but contains ckpt/step_* resolves to the newest
+    step.
+    """
+    path = os.path.abspath(path)
+    if not os.path.exists(os.path.join(path, "_CHECKPOINT_METADATA")):
+        latest = latest_checkpoint(path)
+        if latest is not None:
+            return latest
+    return path
+
+
 def restore_tree(path: str, template=None) -> Dict[str, Any]:
-    """Restore a checkpoint directory.
+    """Restore a checkpoint directory (a step dir, or a model_dir — see
+    `resolve_checkpoint`).
 
     With `template`, the stored arrays are re-threaded onto the template's
     pytree structure (required for optax states: orbax stores namedtuples
     as plain dicts and optax needs them back as namedtuples).
     """
-    path = os.path.abspath(path)
+    path = resolve_checkpoint(path)
     with ocp.PyTreeCheckpointer() as ckptr:
         if template is None:
             return ckptr.restore(path)

@@ -5,6 +5,8 @@
       [--percentile=99.9] [--method=entropy|channel]
       [--fallback=dec/Conv_13,to_rgb]
   python scripts/int8_quality.py sweep <model_dir>   # all schemes, one table
+  python scripts/int8_quality.py gate <model_dir>    # CI/deploy gate:
+      [--max_delta=0.002] [--min_ssim=0.9]  # exit 1 on regression
 
 `train` runs Stage-I (Market 128x64, bs64, synthetic data, fixed seed) to
 <steps> on the TPU and checkpoints. `check` loads the newest checkpoint
@@ -137,8 +139,8 @@ def _gate_context(model_dir: str, n_batches: int,
 
 
 def check(model_dir: str, per_layer: bool = False, n_batches: int = 4,
-          percentile=None, fallback: str = "", method: str = "absmax",
-          fallback_mode: str = "legacy",
+          percentile=None, fallback: str = "", method: str = "channel",
+          fallback_mode: str = "island",
           cfg_overrides: dict = None, ctx: dict = None) -> dict:
     import jax
     from dpig_tpu.models import quant as quant_mod
@@ -227,14 +229,15 @@ def sweep(model_dir: str, n_batches: int = 4,
     repeat = Config(**(cfg_overrides or {})).repeat_num
     last = 3 * repeat - 2  # final decoder res-pair Conv_{last-1},Conv_{last}
     configs = [
-        ("absmax", {}),
+        ("absmax", {"method": "absmax"}),
         ("percentile 99.9", {"percentile": 99.9, "method": "percentile"}),
-        ("per-channel", {"method": "channel"}),
-        ("absmax + tail-fallback",
-         {"fallback": f"dec/Conv_{last - 1},dec/Conv_{last},to_rgb"}),
+        ("per-channel (default)", {"method": "channel"}),
+        ("tail-fallback (legacy)",
+         {"fallback": f"dec/Conv_{last - 1},dec/Conv_{last},to_rgb",
+          "method": "absmax", "fallback_mode": "legacy"}),
         ("tail-fallback (island)",
          {"fallback": f"dec/Conv_{last - 1},dec/Conv_{last},to_rgb",
-          "fallback_mode": "island"}),
+          "method": "absmax", "fallback_mode": "island"}),
         # entropy LAST: its histogram pass once kernel-faulted the TPU
         # worker (fixed in quant.py r4, but a crash here must not cost
         # the other rows)
@@ -258,17 +261,46 @@ def sweep(model_dir: str, n_batches: int = 4,
     return dict(rows)
 
 
+def gate(model_dir: str, max_delta: float = 0.002, min_ssim: float = 0.9,
+         cfg_overrides: dict = None) -> bool:
+    """Deploy/CI regression gate for the shipping int8 defaults
+    (per-channel folded calibration, chained graph). Passes iff the
+    protocol metric (SSIM-to-target delta vs float, score.py semantics)
+    stays within max_delta AND direct int8-vs-float fidelity stays
+    above min_ssim. Thresholds leave >4x margin over the measured
+    defaults at the adversarial 20k-step checkpoint (delta +0.0000,
+    SSIM 0.9865 — README calibration table)."""
+    r = check(model_dir, cfg_overrides=cfg_overrides)
+    ok = abs(r["delta"]) <= max_delta and r["ssim_int8_float"] >= min_ssim
+    print(f"[{'PASS' if ok else 'FAIL'}] |delta|={abs(r['delta']):.4f} "
+          f"(max {max_delta}) SSIM(int8,float)={r['ssim_int8_float']:.4f} "
+          f"(min {min_ssim})")
+    if not ok:
+        print("    remedy order: 1) rank layers with `check --per_layer`;"
+              " 2) --int8_fallback_layers=<top names> (island mode keeps"
+              " chained throughput); 3) --inference_dtype=bf16")
+    return ok
+
+
 if __name__ == "__main__":
     if sys.argv[1] == "train":
         train(int(sys.argv[2]),
               sys.argv[3] if len(sys.argv) > 3 else "/tmp/q20k")
     elif sys.argv[1] == "sweep":
         sweep(sys.argv[2])
+    elif sys.argv[1] == "gate":
+        kw = {}
+        for a in sys.argv[3:]:
+            if a.startswith("--max_delta="):
+                kw["max_delta"] = float(a.split("=")[1])
+            if a.startswith("--min_ssim="):
+                kw["min_ssim"] = float(a.split("=")[1])
+        sys.exit(0 if gate(sys.argv[2], **kw) else 1)
     else:
         pct = None
         fb = ""
-        method = "absmax"
-        fb_mode = "legacy"
+        method = "channel"   # shipping default (--int8_calibration)
+        fb_mode = "island"   # shipping default (--int8_fallback_mode)
         for a in sys.argv[3:]:
             if a.startswith("--percentile="):
                 pct = float(a.split("=")[1])

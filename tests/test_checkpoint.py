@@ -79,6 +79,24 @@ def test_compose_pretrained_flags(tmp_path):
     assert set(merged) == {"Encoder", "ID_AE"}
 
 
+def test_pretrained_path_accepts_model_dir(tmp_path):
+    """--pretrained_* flags take a model DIRECTORY like the reference
+    (tf.train.latest_checkpoint semantics): resolve_checkpoint maps it to
+    the newest ckpt/step_* inside."""
+    cfg1 = small_cfg(tmp_path / "stage1")
+    s1 = Stage1App(cfg1).init_state(jax.random.PRNGKey(0))
+    ckpt.save_checkpoint(cfg1.model_dir, 0, s1)
+    newest = ckpt.save_checkpoint(cfg1.model_dir, 7, s1)
+
+    assert ckpt.resolve_checkpoint(cfg1.model_dir) == newest
+    # a step dir passes through untouched
+    assert ckpt.resolve_checkpoint(newest) == newest
+
+    # restore through the model_dir form end-to-end
+    merged = ckpt.restore_subtrees(cfg1.model_dir, ["Encoder", "ID_AE"])
+    assert tree_equal(merged["Encoder"], s1.g_params["Encoder"])
+
+
 def test_harness_auto_resume(tmp_path):
     """Trainer picks up the newest checkpoint without --ckpt_path."""
     from dpig_tpu.data.synthetic import SyntheticLoader

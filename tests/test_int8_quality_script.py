@@ -14,8 +14,16 @@ def test_quality_sweep_smoke(tmp_path):
     q.train(3, str(tmp_path), pool_size=2, cfg_overrides=tiny)
     rows = q.sweep(str(tmp_path), n_batches=2, cfg_overrides=tiny)
     assert set(rows) == {"absmax", "percentile 99.9", "entropy",
-                         "per-channel", "absmax + tail-fallback",
+                         "per-channel (default)", "tail-fallback (legacy)",
                          "tail-fallback (island)"}
     for label, r in rows.items():
         assert 0.0 <= r["ssim_int8_float"] <= 1.0, (label, r)
         assert abs(r["delta"]) < 0.5, (label, r)
+
+    # deploy gate: passes at generous thresholds on the 3-step ckpt
+    # (near-init net, int8 tracks float tightly), fails when impossibly
+    # strict — and returns rather than raises either way.
+    assert q.gate(str(tmp_path), max_delta=0.5, min_ssim=0.0,
+                  cfg_overrides=tiny) is True
+    assert q.gate(str(tmp_path), max_delta=0.5, min_ssim=1.1,
+                  cfg_overrides=tiny) is False

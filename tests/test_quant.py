@@ -484,7 +484,7 @@ def test_island_fallback_matches_legacy_quality():
     # lossless (test_int8_stem_lossless_on_real_pose_maps).
     stem_bf = ["g_stem"]
     e_chained = err(bf16_layers=frozenset(stem_bf), fallback_mode="island")
-    e_legacy = err(bf16_layers=frozenset(tail))
+    e_legacy = err(bf16_layers=frozenset(tail), fallback_mode="legacy")
     e_island = err(bf16_layers=frozenset(tail + stem_bf),
                    fallback_mode="island")
     # island must recover most of the legacy fallback's quality gain
