@@ -300,6 +300,9 @@ def _uae_forward_int8(params, embs, pose, repeat_num: int, hidden_num: int,
     s = quant["act_scales"]
     W = quant["weights"]
     folded = "act_folded" in quant  # per-channel scales folded into W
+    # downsample-input scales pinned to their skip's decoder tail scale
+    # (calibrate() + QuantizedGenerator only) -> single-store is exact
+    pinned = "act_pinned" in quant
 
     def for_consumer(x_bf, consumer, scale):
         """Store an activation for `consumer`: s8 at `scale`, or bf16
@@ -386,18 +389,41 @@ def _uae_forward_int8(params, embs, pose, repeat_num: int, hidden_num: int,
         s_a = s[f"enc/{na}"]
         q_mid = qconv(f"enc/{na}", enc[na], q, out_scale=s[f"enc/{nb}"],
                       out_name=f"enc/{nb}")
+        ni += 2
+        dec_consumer = f"dec/{dec_names[3 * (repeat_num - 1 - idx)]}"
+        last = idx == repeat_num - 1
+        nd = None if last else f"enc/{enc_names[ni]}"
+        # Shared single store: under folded per-channel calibration the
+        # downsample conv's input scale is PINNED to the skip's tail
+        # slice of the decoder concat scale (see calibrate()), so
+        # conv_b's epilogue emits ONE s8 buffer consumed by both the
+        # skip and the stride-2 conv. Measured wall-clock NEUTRAL at
+        # bs512 (4449.6 vs 4448.4 img/s) — the conv_b fusion's extra
+        # time vs conv_a is the emitter's fused-epilogue schedule, not
+        # the stores — kept because it drops a full-res bf16 store + a
+        # quantize pass per block and skips one bf16 rounding (conv_b's
+        # f32 result quantizes directly; test_quant shared-store gates).
+        if pinned and not last and dec_consumer in W and nd in W:
+            # conv_b epilogue fuses the residual add (res = block input)
+            # and quantizes once at the shared scale
+            r8 = qconv(f"enc/{nb}", enc[nb], q_mid, res8=q, res_scale=s_a,
+                       out_scale=s[nd], out_name=nd)
+            skips.append(r8)
+            r_bf = None
+            q = qconv(nd, enc[enc_names[ni]], r8, stride=2,
+                      out_scale=s[f"enc/{enc_names[ni + 1]}"],
+                      out_name=f"enc/{enc_names[ni + 1]}")
+            ni += 1
+            continue
         # conv_b epilogue fuses the residual add (res = block input, s8)
         r_bf = qconv(f"enc/{nb}", enc[nb], q_mid, res8=q, res_scale=s_a)
-        ni += 2
         # skip stored once, at its decoder consumer's concat scale (the
         # TAIL channels of the concat: [upsampled-z, skip])
-        dec_consumer = f"dec/{dec_names[3 * (repeat_num - 1 - idx)]}"
         skips.append(for_consumer(r_bf, dec_consumer, _tail_scale(
             dec_a_scale[repeat_num - 1 - idx], r_bf.shape[-1])))
-        if idx < repeat_num - 1:
-            nd = enc_names[ni]
-            q_d = for_consumer(r_bf, f"enc/{nd}", s[f"enc/{nd}"])
-            q = qconv(f"enc/{nd}", enc[nd], q_d, stride=2,
+        if not last:
+            q_d = for_consumer(r_bf, nd, s[nd])
+            q = qconv(nd, enc[enc_names[ni]], q_d, stride=2,
                       out_scale=s[f"enc/{enc_names[ni + 1]}"],
                       out_name=f"enc/{enc_names[ni + 1]}")
             ni += 1
@@ -649,6 +675,25 @@ def calibrate(params, embs_batches, pose_batches, repeat_num: int,
     if per_channel:
         scales = {k: (np.maximum(v, 1e-12) / 127.0).astype(np.float32)
                   for k, v in maxima.items()}
+        # Pin each downsample conv's input scale to the tail slice of its
+        # skip's decoder-consumer concat scale. Both vectors measure the
+        # per-channel absmax of the SAME float tensor (the encoder block
+        # output feeds the stride-2 conv directly and reappears as the
+        # tail channels of the decoder concat), so they are already equal;
+        # pinning makes them equal by construction, which lets the chained
+        # graph store that tensor ONCE as s8 (skip == downsample input)
+        # instead of quantizing it at two scales — the round-3 trace showed
+        # the dual-store epilogue costs ~2x the single-store conv_b.
+        enc_n = [n for _, n in enc_layer_names(repeat_num)]
+        dec_n = [n for _, n in dec_layer_names(repeat_num)]
+        ni = 2
+        for idx in range(repeat_num - 1):
+            nd = f"enc/{enc_n[ni]}"
+            ni += 3
+            dec_c = f"dec/{dec_n[3 * (repeat_num - 1 - idx)]}"
+            if nd in scales and dec_c in scales:
+                c = scales[nd].shape[-1]
+                scales[nd] = scales[dec_c][..., -c:]
         return scales, {}
     scales = {k: float(np.maximum(v, 1e-12)) / 127.0
               for k, v in maxima.items() if not k.startswith("wino/")}
@@ -785,6 +830,10 @@ class QuantizedGenerator:
             # key presence flags folded dequantization (acc * w_scale
             # alone); value is a dummy array so the dict stays a pytree
             self.quant["act_folded"] = jnp.int8(1)
+            # calibrate() pinned each downsample conv's input scale to
+            # its skip's decoder tail scale -> the chained graph may
+            # store that tensor once (shared skip/downsample s8 buffer)
+            self.quant["act_pinned"] = jnp.int8(1)
         return self
 
     def __call__(self, embs, pose):

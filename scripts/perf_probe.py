@@ -467,6 +467,84 @@ def probe_oracle_shapes(batch):
     rowfold(128, 64, 128, 128)   # enc0 via 1x3 Ci=384
 
 
+def probe_to_rgb(batch):
+    """Compile-only A/B for the to_rgb Co=3 emitter tax: the in-graph
+    to_rgb (s8 conv Ci=128->Co=3 @128x64 + f32 dequant/bias epilogue)
+    lands on EmitOutputBatchInLanes at ~2.2x its input-read BW floor.
+    Variants pad Co to a lane-friendly width (zero out-channels) and
+    slice the 3 live channels after — extra MACs are negligible next to
+    the input read, so a better emitter should win if one exists."""
+    import re
+    from dpig_tpu.models.quant import _pin_layout
+    h, w, ci = 128, 64, 128
+
+    def build(co, do_slice):
+        def f(x8, k, b):
+            acc = jax.lax.conv_general_dilated(
+                _pin_layout(x8), k, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            y = acc.astype(jnp.float32) * 2e-4 + b
+            if do_slice:
+                y = y[..., :3]
+            return y
+        x8 = jnp.zeros((batch, h, w, ci), jnp.int8)
+        k = jnp.zeros((3, 3, ci, co), jnp.int8)
+        b = jnp.zeros((co,), jnp.float32)
+        return f, (x8, k, b)
+
+    for co, do_slice in [(3, False), (8, True), (16, True), (128, True),
+                         (8, False)]:
+        f, args = build(co, do_slice)
+        txt = jax.jit(f).lower(*args).compile().as_text()
+        conv_us = other_us = 0.0
+        emitters = []
+        for line in txt.splitlines():
+            m = re.search(r'"estimated_cycles":"(\d+)"', line)
+            if not m:
+                continue
+            if '"emitter"' in line:
+                conv_us += int(m.group(1)) / 1.5e3
+                e = re.search(r'"emitter":"(\w+)"', line)
+                emitters.append(e.group(1) if e else "?")
+            else:
+                other_us += int(m.group(1)) / 1.5e3
+        print(f"  co{co}{'+slice' if do_slice else ''}: conv "
+              f"{conv_us:8.1f} us + other {other_us:8.1f} us  {emitters}",
+              flush=True)
+
+
+def probe_stem(batch):
+    """Compile-only A/B for the g_stem conv (s8, Ci=18 pose maps ->
+    Co=128 @128x64): Ci=18 is a fraction of one 32-wide lane tile, so the
+    emitter may charge full tiles. Variants pad Ci with zero channels
+    (rasterizer could emit any of these widths for free)."""
+    import re
+    from dpig_tpu.models.quant import _pin_layout
+    h, w, co = 128, 64, 128
+
+    for ci in [18, 32, 64, 128]:
+        def f(x8, k):
+            acc = jax.lax.conv_general_dilated(
+                _pin_layout(x8), k, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            return jnp.clip(jnp.round(acc.astype(jnp.float32) * 2e-4),
+                            -127, 127).astype(jnp.int8)
+        x8 = jnp.zeros((batch, h, w, ci), jnp.int8)
+        k = jnp.zeros((3, 3, ci, co), jnp.int8)
+        txt = jax.jit(f).lower(x8, k).compile().as_text()
+        conv_us = 0.0
+        emitters = []
+        for line in txt.splitlines():
+            m = re.search(r'"estimated_cycles":"(\d+)"', line)
+            if m and '"emitter"' in line:
+                conv_us += int(m.group(1)) / 1.5e3
+                e = re.search(r'"emitter":"(\w+)"', line)
+                emitters.append(e.group(1) if e else "?")
+        print(f"  ci{ci}: conv {conv_us:8.1f} us  {emitters}", flush=True)
+
+
 def probe_oracle_train(batch):
     """Compile the FULL Stage-I jitted G+D train step (bf16, Market
     128x64, trainer.py:326-366 anchor) and bucket estimated_cycles into
@@ -589,6 +667,10 @@ def main():
         probe_oracle_transfer(batch)
     elif probe == "oracle_train":
         probe_oracle_train(batch)
+    elif probe == "to_rgb":
+        probe_to_rgb(batch)
+    elif probe == "stem":
+        probe_stem(batch)
     else:
         raise SystemExit(f"unknown probe {probe}")
 

@@ -424,6 +424,50 @@ def test_per_channel_calibration_end_to_end():
                                  ).calibrate([embs], [pose])
 
 
+def test_shared_skip_downsample_store_matches_dual():
+    """Channel calibration pins each downsample conv's input scale to its
+    skip's decoder tail scale (quant.calibrate), so the chained graph can
+    emit ONE s8 buffer for both consumers. The single-store path (gated
+    on 'act_pinned') quantizes conv_b's f32 output directly, where the
+    dual-store path rounds through bf16 first — so outputs agree to one
+    bf16 rounding (s8 codes move by at most 1), and the shared path's
+    error vs float must not regress."""
+    rng = np.random.default_rng(23)
+    gen, params, embs, pose = _setup(rng)
+    out_f = np.asarray(quant.uae_forward(params, embs, pose, REPEAT, HID)[0])
+    qc = quant.QuantizedGenerator(params, REPEAT, HID,
+                                  calib_granularity="channel")
+    qc.calibrate([embs], [pose])
+    assert "act_pinned" in qc.quant
+    out_shared = np.asarray(qc(embs, pose)[0])
+
+    dual = {k: v for k, v in qc.quant.items() if k != "act_pinned"}
+    out_dual = np.asarray(quant.uae_forward(params, embs, pose, REPEAT, HID,
+                                            quant=dual)[0])
+    np.testing.assert_allclose(out_shared, out_dual, atol=0.08)
+    e_shared = np.abs(out_shared - out_f).mean()
+    e_dual = np.abs(out_dual - out_f).mean()
+    assert e_shared <= e_dual * 1.05, (e_shared, e_dual)
+
+    # the pin itself is a numeric no-op: both vectors measure the same
+    # float tensor's per-channel absmax (RAW stats, before calibrate()
+    # pins them — pinning must not change any scale)
+    import functools
+    import jax
+    enc_n = [n for _, n in quant.enc_layer_names(REPEAT)]
+    dec_n = [n for _, n in quant.dec_layer_names(REPEAT)]
+    _, _, stats = jax.jit(functools.partial(
+        quant.uae_forward, repeat_num=REPEAT, hidden_num=HID,
+        collect_stats=True, calib_channel=True))(params, embs, pose)
+    ni = 2
+    for idx in range(REPEAT - 1):
+        nd, ni = f"enc/{enc_n[ni]}", ni + 3
+        dec_c = f"dec/{dec_n[3 * (REPEAT - 1 - idx)]}"
+        c = np.asarray(stats[nd]).shape[-1]
+        np.testing.assert_allclose(np.asarray(stats[nd]),
+                                   np.asarray(stats[dec_c])[-c:], rtol=1e-6)
+
+
 def test_encoder_per_channel_calibration():
     """QuantizedEncoder granularity='channel': vector scales folded into
     the weights; accuracy at least on par with per-tensor."""
