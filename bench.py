@@ -80,6 +80,7 @@ def main() -> None:
     pose_rcv = jnp.asarray(b["pose_rcv"])
 
     quant_tables = None
+    chained = True
     if dtype == "int8":
         from dpig_tpu.models import quant as quant_mod
         # Calibration runs a full-precision forward with abs-max stat
@@ -94,11 +95,8 @@ def main() -> None:
         # optional 5th arg: calibration granularity/scheme ('channel'
         # folds per-input-channel scales into the weights — same chained
         # graph, measures whether the fold is throughput-neutral), or a
-        # routing A/B mode: 'wino' runs the dec3/dec4 3x3 convs through
-        # the F(2x2,3x3) transform-domain int8 path (ops/wino.py; forces
-        # the legacy per-layer-quant graph), 'legacy' runs the same
-        # legacy graph WITHOUT wino — the pair isolates wino's conv-math
-        # delta from the chained-vs-legacy routing delta.
+        # routing A/B mode: 'legacy' runs the legacy per-layer-quant
+        # graph (bf16 inter-layer tensors) instead of the s8-chained one.
         # default matches the shipping default (--int8_calibration=channel:
         # per-input-channel absmax folded into the weights — graph-identical
         # to per-tensor, measured throughput-neutral 4512 vs 4456 img/s,
@@ -106,30 +104,22 @@ def main() -> None:
         # 'island_tail' / 'legacy_tail' run the decoder-tail bf16 fallback
         # (dec/Conv_{last-1}, dec/Conv_{last}, to_rgb — the quality-sweep
         # configuration) through each routing, measuring the island mode's
-        # claimed chained-throughput retention vs the legacy ~10% tax.
+        # claimed chained-throughput retention vs the legacy tax.
         calib = sys.argv[5] if len(sys.argv) > 5 else "channel"
-        assert calib in ("absmax", "entropy", "channel", "wino", "legacy",
+        assert calib in ("absmax", "entropy", "channel", "legacy",
                          "island_tail", "legacy_tail"), \
             f"unknown calibration scheme {calib!r}"
         last = 3 * gen_repeat - 2
-        wino_layers = frozenset()
-        if calib == "wino":
-            wino_layers = frozenset(
-                f"dec/Conv_{i}" for i in (last - 4, last - 3, last - 1, last))
         tail = frozenset([f"dec/Conv_{last - 1}", f"dec/Conv_{last}",
                           "to_rgb"])
         q = quant_mod.QuantizedGenerator(
             gen_params, gen_repeat, cfg.conv_hidden_num,
             calib_granularity="channel" if calib == "channel" else "tensor",
             calib_method=calib if calib in ("absmax", "entropy") else "absmax",
-            bf16_layers=tail if calib.endswith("_tail") else frozenset(),
-            wino_layers=wino_layers)
+            bf16_layers=tail if calib.endswith("_tail") else frozenset())
         q.calibrate([embs0], [pose0])
         quant_tables = q.quant
-        if calib in ("legacy", "legacy_tail"):
-            # truthy 'wino' entry that matches no layer name: uae_forward
-            # takes the legacy graph with every conv on the direct path
-            quant_tables = dict(quant_tables, wino={"__legacy__": None})
+        chained = calib not in ("legacy", "legacy_tail")
 
     # NOTE: params/quant tables are jit ARGUMENTS, not closure constants —
     # constant-embedded weights exceed remote-compile payload limits.
@@ -165,7 +155,8 @@ def main() -> None:
             if quant_tables is not None:
                 g_raw, _ = quant_mod.uae_forward(
                     gen_params, embs, pose, gen_repeat,
-                    cfg.conv_hidden_num, quant=quant_tables)
+                    cfg.conv_hidden_num, quant=quant_tables,
+                    chained=chained)
             else:
                 g_raw, _ = quant_mod.uae_forward_bf16(
                     gen_params, embs, pose, gen_repeat,
@@ -180,24 +171,26 @@ def main() -> None:
     args = (gen_params, quant_tables, mf, mb, pose_rcv,
             jax.random.PRNGKey(2))
     _ = np.asarray(gen_chain(*args, 1)[0, 0, 0])  # compile + force
-    # Best of 3 timed windows: each window is a self-contained chained
-    # fori_loop of n_iters full serving steps (nothing elidable), so the
-    # min-time window is the standard way to strip host-side jitter —
+    # MEDIAN of 3 timed windows: each window is a self-contained chained
+    # fori_loop of n_iters full serving steps (nothing elidable). The
     # measured run-to-run spread on this remote-tunnel host is +-3%
-    # (docs/BENCH_NOTES.md), far above the device's own variance.
-    dt = float("inf")
+    # (docs/BENCH_NOTES.md), far above the device's own variance; the
+    # median makes the driver's round-over-round record stable, and the
+    # three raw window rates ride along in the JSON tail.
+    rates = []
     for _ in range(3):
         t0 = time.perf_counter()
         out = gen_chain(*args, n_iters)
         _ = np.asarray(out[0, 0, 0])
-        dt = min(dt, time.perf_counter() - t0)
+        rates.append(n_iters * batch_size / (time.perf_counter() - t0))
 
-    imgs_per_sec = n_iters * batch_size / dt
+    imgs_per_sec = float(np.median(rates))
     print(json.dumps({
         "metric": metric,
         "value": round(imgs_per_sec, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / baseline, 3),
+        "runs": [round(r, 1) for r in rates],
     }))
 
 

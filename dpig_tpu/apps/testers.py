@@ -239,7 +239,10 @@ class _TesterBase:
             # table; disable with --int8_selfcheck=false). Costs one float
             # forward outside the serving loop.
             from ..models.quant import uae_forward
-            g_q = np.asarray(self._generate(params, embs, pose))
+            # both forwards jitted: eager op dispatch is pathological on
+            # the lazy remote backend (CLAUDE.md) — an un-jitted ~50-conv
+            # graph would pay per-op remote compiles at every startup
+            g_q = np.asarray(jax.jit(self._generate)(params, embs, pose))
             g_f = np.asarray(jax.jit(functools.partial(
                 uae_forward, repeat_num=gen_repeat,
                 hidden_num=cfg.conv_hidden_num))(

@@ -26,7 +26,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops import wino
 from ..ops.image import upscale_nn
 from .generator import _constant_input_stem, _stem_bias_map
 
@@ -130,7 +129,6 @@ def dec_layer_names(repeat_num: int) -> List[Tuple[str, str]]:
 def uae_forward(params, embs, pose, repeat_num: int, hidden_num: int,
                 quant: Optional[Dict] = None,
                 collect_stats: bool = False,
-                wino_layers: Optional[frozenset] = None,
                 calib_percentile: Optional[float] = None,
                 calib_hist_ranges: Optional[Dict[str, float]] = None,
                 calib_channel: bool = False,
@@ -138,27 +136,22 @@ def uae_forward(params, embs, pose, repeat_num: int, hidden_num: int,
     """Layer-by-layer UAEGenerator forward on raw params.
 
     quant=None, collect_stats=False  -> float forward (== module apply).
-    collect_stats=True               -> also return {layer: absmax(input)}
-                                        (+ per-point U absmax for layers in
-                                        `wino_layers`, keyed 'wino/<name>').
-    quant={'weights': {name: (w8, w_scale)}, 'act_scales': {name: s},
-           'wino': {name: (w8_16, w_scale_16, u_scale_16)}}
-                                     -> int8 conv path + conv-then-upscale;
-                                        layers in 'wino' run the F(2x2,3x3)
-                                        transform-domain path (ops/wino.py).
+    collect_stats=True               -> also return {layer: absmax(input)}.
+    quant={'weights': {name: (w8, w_scale)}, 'act_scales': {name: s}}
+                                     -> int8 conv path + conv-then-upscale.
                                         A 'g_stem' weight entry (chained
                                         path only) runs the stem's pose
                                         conv in s8 — lossless on real
                                         {-1,+1} pose maps.
+    chained=False forces the legacy per-layer-quant graph (bf16 tensors
+    between layers) — the quality-analysis / A/B reference routing.
     """
-    if (quant is not None and chained and not collect_stats
-            and not quant.get("wino")):
+    if quant is not None and chained and not collect_stats:
         return _uae_forward_int8(params, embs, pose, repeat_num, hidden_num,
                                  quant)
 
     stats: Dict[str, jax.Array] = {}
     dtype = jnp.bfloat16 if quant is not None else jnp.float32
-    wino_layers = wino_layers or frozenset()
 
     def record(name, x):
         if collect_stats:
@@ -190,20 +183,10 @@ def uae_forward(params, embs, pose, repeat_num: int, hidden_num: int,
             # little saturation for finer quantization steps
             stats[name] = (jnp.max(a) if calib_percentile is None else
                            jnp.percentile(a, calib_percentile))
-            if name in wino_layers:
-                u = jnp.abs(wino.input_transform(x.astype(jnp.float32)))
-                stats[f"wino/{name}"] = (
-                    jnp.max(u, axis=(1, 2)) if calib_percentile is None
-                    else jnp.percentile(u, calib_percentile, axis=(1, 2)))
 
     def conv_apply(name, tree, x, stride=1, act=True):
         record(name, x)
-        if quant is not None and name in quant.get("wino", {}):
-            w8, w_scale, u_scale = quant["wino"][name]
-            out = wino.wino_conv_int8(
-                x, w8, w_scale, u_scale,
-                tree["bias"].astype(jnp.float32)).astype(jnp.bfloat16)
-        elif quant is not None and name in quant["weights"]:
+        if quant is not None and name in quant["weights"]:
             w8, w_scale = quant["weights"][name]
             out = _qconv(x, w8, w_scale, tree["bias"].astype(jnp.float32),
                          quant["act_scales"][name], stride,
@@ -628,19 +611,17 @@ def _kl_threshold_scale(hist: np.ndarray, amax: float,
 
 
 def calibrate(params, embs_batches, pose_batches, repeat_num: int,
-              hidden_num: int, wino_layers: frozenset = frozenset(),
+              hidden_num: int,
               calib_percentile: Optional[float] = None,
               calib_method: str = "absmax",
-              calib_granularity: str = "tensor"
-              ) -> Tuple[Dict[str, float], Dict[str, np.ndarray]]:
+              calib_granularity: str = "tensor") -> Dict[str, np.ndarray]:
     """Activation scales over calibration batches (float forward).
 
     calib_method: 'absmax' (default), 'percentile' (uses
     `calib_percentile`, e.g. 99.9), or 'entropy' (two passes: absmax
     ranges, then |x| histograms + KL threshold search per layer).
     calib_granularity: 'tensor' (default) or 'channel' (per-input-channel
-    absmax vectors; fold into the weights via quantize_weights).
-    Returns (scales, per-point U scales for wino layers)."""
+    absmax vectors; fold into the weights via quantize_weights)."""
     if calib_percentile is not None and calib_method == "absmax":
         calib_method = "percentile"
     if calib_method not in ("absmax", "percentile", "entropy"):
@@ -657,13 +638,12 @@ def calibrate(params, embs_batches, pose_batches, repeat_num: int,
     if calib_granularity not in ("tensor", "channel"):
         raise ValueError(f"unknown calib_granularity {calib_granularity!r}")
     per_channel = calib_granularity == "channel"
-    if per_channel and (calib_method != "absmax" or wino_layers):
+    if per_channel and calib_method != "absmax":
         raise ValueError("granularity='channel' supports absmax only "
-                         "(no percentile/entropy/wino)")
+                         "(no percentile/entropy)")
     fwd = jax.jit(functools.partial(uae_forward, repeat_num=repeat_num,
                                     hidden_num=hidden_num,
                                     collect_stats=True,
-                                    wino_layers=wino_layers,
                                     calib_percentile=calib_percentile,
                                     calib_channel=per_channel))
     maxima: Dict[str, np.ndarray] = {}
@@ -694,14 +674,11 @@ def calibrate(params, embs_batches, pose_batches, repeat_num: int,
             if nd in scales and dec_c in scales:
                 c = scales[nd].shape[-1]
                 scales[nd] = scales[dec_c][..., -c:]
-        return scales, {}
+        return scales
     scales = {k: float(np.maximum(v, 1e-12)) / 127.0
-              for k, v in maxima.items() if not k.startswith("wino/")}
-    u_scales = {k[5:]: np.maximum(v, 1e-12) / 127.0
-                for k, v in maxima.items() if k.startswith("wino/")}
+              for k, v in maxima.items()}
     if calib_method == "entropy":
-        ranges = {k: float(np.maximum(v, 1e-12))
-                  for k, v in maxima.items() if not k.startswith("wino/")}
+        ranges = {k: float(np.maximum(v, 1e-12)) for k, v in maxima.items()}
         fwd_h = jax.jit(functools.partial(
             uae_forward, repeat_num=repeat_num, hidden_num=hidden_num,
             collect_stats=True, calib_hist_ranges=ranges))
@@ -712,28 +689,16 @@ def calibrate(params, embs_batches, pose_batches, repeat_num: int,
                 hists[k] = hists.get(k, 0) + np.asarray(v)
         scales = {k: _kl_threshold_scale(h, ranges[k])
                   for k, h in hists.items()}
-    return scales, u_scales
-
-
-# Decoder stages where the Winograd path beats direct int8 on the v5e
-# (big stride-1 convs; see scripts/perf_probe.py winomm + CLAUDE.md).
-DEFAULT_WINO_LAYERS = frozenset()
-
-
-def _layer_param_tree(params, name: str):
-    scope, leaf = name.split("/") if "/" in name else (None, name)
-    if scope == "enc":
-        return params["ConvBlockTower_0"][leaf]
-    if scope == "dec":
-        return params[leaf]
-    return params[name]
+    return scales
 
 
 class QuantizedGenerator:
     """Calibrated int8 UAE generator for inference.
 
-    wino_layers: layer names (e.g. 'dec/Conv_6') to run through the
-    F(2x2,3x3) transform-domain int8 path instead of direct int8 conv.
+    (A transform-domain Winograd int8 path was built, measured 10x SLOWER
+    end-to-end than direct int8 on the v5e — 363 vs 4,452 img/s, see
+    docs/BENCH_NOTES.md — and removed in round 5.)
+
     bf16_layers: layer names ('enc/Conv_0' … 'dec/Conv_13', 'to_rgb') to
     run as exact bf16 convs inside the otherwise-int8 graph — a selective
     quality fallback for the most error-contributing layers (rank them
@@ -777,7 +742,6 @@ class QuantizedGenerator:
     """
 
     def __init__(self, params, repeat_num: int, hidden_num: int,
-                 wino_layers: frozenset = DEFAULT_WINO_LAYERS,
                  calib_percentile: Optional[float] = None,
                  bf16_layers: frozenset = frozenset(),
                  calib_method: str = "absmax",
@@ -786,7 +750,6 @@ class QuantizedGenerator:
         self.params = params
         self.repeat_num = repeat_num
         self.hidden_num = hidden_num
-        self.wino_layers = frozenset(wino_layers)
         self.calib_percentile = calib_percentile
         self.calib_method = calib_method
         self.calib_granularity = calib_granularity
@@ -797,9 +760,9 @@ class QuantizedGenerator:
 
     def calibrate(self, embs_batches, pose_batches) -> "QuantizedGenerator":
         per_channel = self.calib_granularity == "channel"
-        act_scales, u_scales = calibrate(
+        act_scales = calibrate(
             self.params, embs_batches, pose_batches, self.repeat_num,
-            self.hidden_num, wino_layers=self.wino_layers,
+            self.hidden_num,
             calib_percentile=self.calib_percentile,
             calib_method=self.calib_method,
             calib_granularity=self.calib_granularity)
@@ -814,17 +777,10 @@ class QuantizedGenerator:
                              f"valid names: {sorted(valid)}")
         for name in self.bf16_layers:
             weights.pop(name)  # absent from the table -> bf16 branch
-        wino_tables = {}
-        for name in self.wino_layers:
-            kernel = np.asarray(_layer_param_tree(self.params, name)["kernel"])
-            w8, w_scale = wino.quantize_wino_weights(kernel)
-            wino_tables[name] = (w8, w_scale, jnp.asarray(u_scales[name]))
-            weights.pop(name, None)  # replaced by the wino path
         self.quant = {
             "weights": weights,
             "act_scales": {k: jnp.asarray(v, jnp.float32)
                            for k, v in act_scales.items()},
-            "wino": wino_tables,
         }
         if per_channel:
             # key presence flags folded dequantization (acc * w_scale

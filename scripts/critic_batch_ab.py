@@ -54,7 +54,7 @@ def run(mode: str, steps: int, batch_size: int):
                   f"W_bg={-w[:, 1].mean():.4f}", flush=True)
 
     # moment match: 512 fake embeddings vs 512 real embeddings
-    n = 512 // batch_size
+    n = max(1, -(-512 // batch_size))  # ceil — robust to any batch size
     fakes_fg, fakes_bg, reals_fg, reals_bg = [], [], [], []
     for i in range(n):
         fg, bg = app.sample_embs(state.g_params,
@@ -67,7 +67,7 @@ def run(mode: str, steps: int, batch_size: int):
     out = {}
     for name, fk, rl in [("fg", fakes_fg, reals_fg),
                          ("bg", fakes_bg, reals_bg)]:
-        fk, rl = np.concatenate(fk), np.concatenate(rl)
+        fk, rl = np.concatenate(fk)[:512], np.concatenate(rl)[:512]
         out[f"mean_gap_{name}"] = float(
             np.abs(fk.mean(0) - rl.mean(0)).mean())
         out[f"std_gap_{name}"] = float(

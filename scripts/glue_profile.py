@@ -1,0 +1,160 @@
+"""Decompose the generation path's NON-CONV time (VERDICT r4 item 3).
+
+Traces the exact bench.py int8 serving chain (channel-calibrated,
+rasterizer inside the loop) with jax.profiler on the real chip, parses
+the trace's per-HLO 'X' events, and prints (a) every op's per-iteration
+wall-clock, bucketed conv / glue / dense / raster / rng-mapper / other,
+and (b) the bucket totals — the measured version of docs/ROOFLINE.md's
+"remaining ~6%" so each row can be marked mandatory vs attackable.
+
+  python scripts/glue_profile.py [batch] [iters]
+
+The per-HLO durations in the trace are REAL (CLAUDE.md profiling
+workflow) — unlike the compile oracle's estimated_cycles, which is 3-6x
+pessimistic on memory ops.
+"""
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import sys
+
+
+def build_chain(batch_size: int):
+    """The bench.py model-11 int8 serving chain (shipping defaults)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dpig_tpu.apps.stage1_app import Stage1App
+    from dpig_tpu.config import Config
+    from dpig_tpu.data.synthetic import synthetic_batch
+    from dpig_tpu.models import quant as quant_mod
+    from dpig_tpu.models.mappers import GaussianMapper, sample_mapper_noise
+    from dpig_tpu.ops.pose import render_pose_maps
+
+    cfg = Config(img_H=128, img_W=64, batch_size=batch_size,
+                 compute_dtype="bfloat16", model_dir="/tmp/glueprof")
+    app = Stage1App(cfg)
+    state = app.init_state(jax.random.PRNGKey(0))
+    gen_params = state.g_params["ID_AE"]
+    emb_dim = gen_params["stem_kernel"].shape[2] - cfg.keypoint_num
+    fg_dim = cfg.roi_part_num * cfg.roi_z_num
+    bg_dim = emb_dim - fg_dim
+    mapper_fg = GaussianMapper(out_dim=fg_dim, hidden_num=512)
+    mapper_bg = GaussianMapper(out_dim=bg_dim, hidden_num=256)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    mf = jax.jit(mapper_fg.init)(k1, jnp.zeros((2, fg_dim)))["params"]
+    mb = jax.jit(mapper_bg.init)(k2, jnp.zeros((2, bg_dim)))["params"]
+
+    b = synthetic_batch(np.random.default_rng(0), batch_size,
+                        cfg.img_H, cfg.img_W)
+    pose_rcv = jnp.asarray(b["pose_rcv"])
+    cb = min(batch_size, 64)
+    pose0 = render_pose_maps(pose_rcv[:cb], cfg.img_H, cfg.img_W,
+                             cfg.keypoint_num, radius=4, normalized=False)
+    embs0 = jax.random.normal(jax.random.PRNGKey(9), (cb, emb_dim)) * 0.2
+    q = quant_mod.QuantizedGenerator(gen_params, cfg.repeat_num,
+                                     cfg.conv_hidden_num,
+                                     calib_granularity="channel")
+    q.calibrate([embs0], [pose0])
+
+    @jax.jit
+    def gen_chain(gen_params, quant_tables, mf, mb, pose_rcv, rng, n):
+        def body(i, carry):
+            feedback = carry[0, 0, 0, 0].astype(jnp.int32)
+            r = jax.random.fold_in(rng, i + feedback)
+            rf, rb = jax.random.split(r)
+            jitter = (feedback.astype(jnp.float32) % 2.0) * 1e-3
+            rcv = pose_rcv.at[..., :2].add(jitter)
+            pose = render_pose_maps(rcv, cfg.img_H, cfg.img_W,
+                                    cfg.keypoint_num, radius=4,
+                                    normalized=False)
+            fg = mapper_fg.apply({"params": mf},
+                                 sample_mapper_noise(rf, batch_size, fg_dim))
+            bg = mapper_bg.apply({"params": mb},
+                                 sample_mapper_noise(rb, batch_size, bg_dim))
+            embs = jnp.concatenate([fg, bg], -1)
+            g_raw, _ = quant_mod.uae_forward(
+                gen_params, embs, pose, cfg.repeat_num,
+                cfg.conv_hidden_num, quant=quant_tables)
+            return jnp.clip((g_raw.astype(jnp.float32) + 1.0) * 127.5,
+                            0.0, 255.0).astype(jnp.uint8)
+
+        return jax.lax.fori_loop(0, n, body,
+                                 jnp.zeros((batch_size, cfg.img_H,
+                                            cfg.img_W, 3), jnp.uint8))
+
+    args = (gen_params, q.quant, mf, mb, pose_rcv, jax.random.PRNGKey(2))
+    return gen_chain, args
+
+
+BUCKETS = [
+    # (bucket, name substrings) — first match wins; trace fusion names
+    # carry their epilogue op (CLAUDE.md: convs appear as
+    # clamp_convert_fusion / add_convert_fusion)
+    ("conv", ("convolution", "conv")),
+    ("dense", ("dot",)),
+    ("raster/rng", ("iota", "rng", "threefry", "erf_inv")),
+    ("glue:concat", ("concatenate",)),
+    ("glue:quant", ("clamp", "round", "convert")),
+    ("glue:copy", ("copy", "transpose", "reshape", "bitcast", "slice",
+                   "pad", "broadcast", "select", "compare", "dynamic")),
+    ("reduce", ("reduce",)),
+]
+
+
+def bucket_of(name: str) -> str:
+    n = name.lower()
+    for b, keys in BUCKETS:
+        if any(k in n for k in keys):
+            return b
+    return "other"
+
+
+def main() -> None:
+    import numpy as np
+    import jax
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    logdir = "/tmp/glue_trace"
+
+    gen_chain, args = build_chain(batch)
+    _ = np.asarray(gen_chain(*args, 1)[0, 0, 0])  # compile + warm
+    jax.profiler.start_trace(logdir)
+    out = gen_chain(*args, iters)
+    _ = np.asarray(out[0, 0, 0])
+    jax.profiler.stop_trace()
+
+    files = sorted(glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True))
+    assert files, f"no trace written under {logdir}"
+    with gzip.open(files[-1], "rt") as f:
+        trace = json.load(f)
+    per_op: dict = {}
+    for ev in trace.get("traceEvents", []):
+        if ev.get("ph") != "X" or "dur" not in ev:
+            continue
+        name = ev.get("name", "")
+        # keep only device-lane compute events: skip obvious host lanes
+        cat = (ev.get("args") or {}).get("device_type", "")
+        per_op[name] = per_op.get(name, 0.0) + ev["dur"]
+
+    rows = sorted(per_op.items(), key=lambda kv: -kv[1])
+    totals: dict = {}
+    print(f"{'op (per-iter ms)':60s} {'ms':>8s}  bucket")
+    for name, us in rows:
+        ms = us / 1e3 / iters
+        b = bucket_of(name)
+        totals[b] = totals.get(b, 0.0) + ms
+        if ms >= 0.02:
+            print(f"{name[:60]:60s} {ms:8.3f}  {b}")
+    print("\nbucket totals (ms/iter @ bs%d):" % batch)
+    grand = sum(totals.values())
+    for b, ms in sorted(totals.items(), key=lambda kv: -kv[1]):
+        print(f"  {b:12s} {ms:8.3f}  ({100 * ms / grand:4.1f}%)")
+    print(f"  {'TOTAL':12s} {grand:8.3f}")
+
+
+if __name__ == "__main__":
+    main()

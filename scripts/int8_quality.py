@@ -1,17 +1,19 @@
 """int8 PTQ quality gate at deeper checkpoints (VERDICT r2 item 5).
 
-  python scripts/int8_quality.py train <steps> [model_dir]
+  python scripts/int8_quality.py train <steps> [model_dir] [--size=256]
+      [--lr=...] [--pool=N]
   python scripts/int8_quality.py check <model_dir> [--per_layer]
       [--percentile=99.9] [--method=entropy|channel]
-      [--fallback=dec/Conv_13,to_rgb]
-  python scripts/int8_quality.py sweep <model_dir>   # all schemes, one table
+      [--fallback=dec/Conv_13,to_rgb] [--size=256]
+  python scripts/int8_quality.py sweep <model_dir> [--size=256]
   python scripts/int8_quality.py gate <model_dir>    # CI/deploy gate:
-      [--max_delta=0.002] [--min_ssim=0.9]  # exit 1 on regression
+      [--max_delta=0.002] [--min_ssim=0.9] [--size=256]  # exit 1 on fail
 
-`train` runs Stage-I (Market 128x64, bs64, synthetic data, fixed seed) to
-<steps> on the TPU and checkpoints. `check` loads the newest checkpoint
-and compares float vs chained-int8 generation on held-out synthetic
-batches:
+`train` runs Stage-I (Market 128x64 bs64, or with --size=256 the
+DeepFashion model-101 shape: 256x256, RoiEncoder repeat+1, generator
+repeat-1, bs16; synthetic data, fixed seed) to <steps> on the TPU and
+checkpoints. `check` loads the newest checkpoint and compares float vs
+chained-int8 generation on held-out synthetic batches:
 
   * SSIM(int8, float)            — direct PTQ fidelity
   * SSIM-to-target delta         — the protocol metric's sensitivity
@@ -27,6 +29,19 @@ import os
 import sys
 
 import numpy as np
+
+# DF-shape (model 101) overrides for --size=256: generator at
+# repeat_num-1, RoiEncoder at repeat_num+1 (Stage1App handles both from
+# img_H); bs16 keeps the full G+D train step inside HBM without remat,
+# and the quality batches at bs32 keep the f32 stats graph under the
+# calibration OOM ceiling (bench.py caps calibration at 64 for the same
+# reason).
+DF256 = dict(img_H=256, img_W=256, batch_size=16)
+
+
+def _gen_repeat(cfg) -> int:
+    """Generator tower depth: repeat_num-1 at 256 (trainer_256.py:597)."""
+    return cfg.repeat_num - 1 if cfg.img_H >= 256 else cfg.repeat_num
 
 
 def train(steps: int, model_dir: str, pool_size: int = 64,
@@ -49,6 +64,8 @@ def train(steps: int, model_dir: str, pool_size: int = 64,
                 fast_gan_step=True)  # ~18% faster; gate only needs depth
     base.update(cfg_overrides or {})
     cfg = Config(**base)
+    print(f"[*] train config: {cfg.img_H}x{cfg.img_W} bs{cfg.batch_size} "
+          f"g_lr={cfg.g_lr} pool={pool_size}", flush=True)
     app = Stage1App(cfg)
     state = app.init_state(jax.random.PRNGKey(0))
     # resume from the newest checkpoint if one exists — long gate runs
@@ -79,6 +96,11 @@ def train(steps: int, model_dir: str, pool_size: int = 64,
         if (i + 1) % 4000 == 0 and i + 1 < steps:
             ckpt.save_checkpoint(model_dir, i + 1, state)
             print(f"[*] periodic checkpoint at step {i + 1}", flush=True)
+    if start >= steps:
+        # the resumed checkpoint is already at/past the target: saving a
+        # step_{steps} file here would MISLABEL later-step weights
+        print(f"[*] nothing to do: resumed step {start} >= target {steps}")
+        return
     ckpt.save_checkpoint(model_dir, steps, state)
     print(f"[*] saved step-{steps} checkpoint under {model_dir}")
 
@@ -98,10 +120,14 @@ def _gate_context(model_dir: str, n_batches: int,
     from dpig_tpu.models import quant as quant_mod
     from dpig_tpu.train import checkpoint as ckpt
 
-    # the gate config; cfg_overrides shrinks it for CPU smoke tests
+    # the gate config; cfg_overrides shrinks it for CPU smoke tests or
+    # switches to the DF-256 shape (DF256). At 256 the quality batches
+    # run at bs32: calibration's f32 stats graph OOMs HBM above ~64.
     base = dict(img_H=128, img_W=64, batch_size=64,
                 compute_dtype="bfloat16", model_dir=model_dir)
     base.update(cfg_overrides or {})
+    if base["img_H"] >= 256:
+        base["batch_size"] = min(base["batch_size"], 32)
     cfg = Config(**base)
     app = Stage1App(cfg)
     state = app.init_state(jax.random.PRNGKey(0))
@@ -124,16 +150,17 @@ def _gate_context(model_dir: str, n_batches: int,
         pose = pose_maps_from_batch(jb, cfg)
         return embs, pose, jb
 
+    rep = _gen_repeat(cfg)
     fwds = {
         True: jax.jit(lambda p, e, po, q: quant_mod.uae_forward(
-            p, e, po, cfg.repeat_num, cfg.conv_hidden_num, quant=q,
+            p, e, po, rep, cfg.conv_hidden_num, quant=q,
             chained=True)[0]),
         False: jax.jit(lambda p, e, po, q: quant_mod.uae_forward(
-            p, e, po, cfg.repeat_num, cfg.conv_hidden_num, quant=q,
+            p, e, po, rep, cfg.conv_hidden_num, quant=q,
             chained=False)[0]),
     }
     fwd_f = jax.jit(lambda p, e, po: quant_mod.uae_forward(
-        p, e, po, cfg.repeat_num, cfg.conv_hidden_num)[0])
+        p, e, po, rep, cfg.conv_hidden_num)[0])
     return dict(cfg=cfg, gen_params=gen_params, batches=batches,
                 embs_pose=embs_pose, fwds=fwds, fwd_f=fwd_f)
 
@@ -161,7 +188,7 @@ def check(model_dir: str, per_layer: bool = False, n_batches: int = 4,
     granularity = "tensor"
     if method == "channel":
         method, granularity = "absmax", "channel"
-    q = quant_mod.QuantizedGenerator(gen_params, cfg.repeat_num,
+    q = quant_mod.QuantizedGenerator(gen_params, _gen_repeat(cfg),
                                      cfg.conv_hidden_num,
                                      calib_percentile=percentile,
                                      bf16_layers=bf16_layers,
@@ -201,7 +228,7 @@ def check(model_dir: str, per_layer: bool = False, n_batches: int = 4,
         for drop in [None] + names:
             qq = {"weights": {k: v for k, v in q.quant["weights"].items()
                               if k != drop},
-                  "act_scales": q.quant["act_scales"], "wino": {}}
+                  "act_scales": q.quant["act_scales"]}
             if "act_folded" in q.quant:  # keep folded-dequant semantics
                 qq["act_folded"] = q.quant["act_folded"]
             # one shared jitted fn: jax caches per quant-dict STRUCTURE,
@@ -226,7 +253,7 @@ def sweep(model_dir: str, n_batches: int = 4,
     """One-command quality table over every calibration scheme plus the
     decoder-tail bf16 fallback, for the newest checkpoint in model_dir."""
     from dpig_tpu.config import Config
-    repeat = Config(**(cfg_overrides or {})).repeat_num
+    repeat = _gen_repeat(Config(**(cfg_overrides or {})))
     last = 3 * repeat - 2  # final decoder res-pair Conv_{last-1},Conv_{last}
     configs = [
         ("absmax", {"method": "absmax"}),
@@ -283,11 +310,26 @@ def gate(model_dir: str, max_delta: float = 0.002, min_ssim: float = 0.9,
 
 
 if __name__ == "__main__":
+    # --size=256 switches every subcommand to the DF-256 (model 101)
+    # shape; the train/check configs otherwise match the Market gate.
+    overrides = dict(DF256) if "--size=256" in sys.argv else {}
     if sys.argv[1] == "train":
+        pool = 64
+        for a in sys.argv[3:]:
+            if a.startswith("--lr="):
+                lr = float(a.split("=")[1])
+                overrides["g_lr"] = lr
+                overrides["d_lr"] = lr
+            if a.startswith("--pool="):
+                pool = int(a.split("=")[1])
+            if a.startswith("--batch_size="):
+                overrides["batch_size"] = int(a.split("=")[1])
         train(int(sys.argv[2]),
-              sys.argv[3] if len(sys.argv) > 3 else "/tmp/q20k")
+              sys.argv[3] if len(sys.argv) > 3
+              and not sys.argv[3].startswith("--") else "/tmp/q20k",
+              pool_size=pool, cfg_overrides=overrides)
     elif sys.argv[1] == "sweep":
-        sweep(sys.argv[2])
+        sweep(sys.argv[2], cfg_overrides=overrides)
     elif sys.argv[1] == "gate":
         kw = {}
         for a in sys.argv[3:]:
@@ -295,7 +337,8 @@ if __name__ == "__main__":
                 kw["max_delta"] = float(a.split("=")[1])
             if a.startswith("--min_ssim="):
                 kw["min_ssim"] = float(a.split("=")[1])
-        sys.exit(0 if gate(sys.argv[2], **kw) else 1)
+        sys.exit(0 if gate(sys.argv[2], cfg_overrides=overrides, **kw)
+                 else 1)
     else:
         pct = None
         fb = ""
@@ -312,4 +355,4 @@ if __name__ == "__main__":
                 fb_mode = a.split("=", 1)[1]
         check(sys.argv[2], per_layer="--per_layer" in sys.argv,
               percentile=pct, fallback=fb, method=method,
-              fallback_mode=fb_mode)
+              fallback_mode=fb_mode, cfg_overrides=overrides)

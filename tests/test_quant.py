@@ -68,42 +68,6 @@ def test_conv_upscale_commute(rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
-def test_quantized_generator_wino_layers_close_to_float():
-    """Winograd int8 path on the big decoder convs stays close to the
-    float forward (same criterion class as the direct int8 test)."""
-    import numpy as np
-    import jax
-    import jax.numpy as jnp
-    from dpig_tpu.models import quant as q
-    from dpig_tpu.models.generator import UAEGenerator
-    from dpig_tpu.ops.pose import render_pose_maps
-
-    repeat, hidden, zn = 3, 16, 8
-    gen = UAEGenerator(out_channels=3, z_num=zn, repeat_num=repeat,
-                       hidden_num=hidden)
-    pose_rcv = jnp.asarray(
-        np.stack([np.stack([np.arange(18) % 16, np.arange(18) % 8,
-                            np.ones(18)], -1)] * 2).astype(np.float32))
-    pose = render_pose_maps(pose_rcv, 16, 8, 18, radius=2, normalized=False)
-    embs = jax.random.normal(jax.random.PRNGKey(0), (2, 6)) * 0.3
-    params = jax.jit(gen.init)(jax.random.PRNGKey(1), None, pose,
-                               embs_const=embs)["params"]
-
-    float_out, _ = q.uae_forward(params, embs, pose, repeat, hidden)
-
-    wino_layers = frozenset({"dec/Conv_0", "dec/Conv_1", "dec/Conv_3",
-                             "dec/Conv_4"})
-    qg = q.QuantizedGenerator(params, repeat, hidden,
-                              wino_layers=wino_layers)
-    qg.calibrate([embs], [pose])
-    assert set(qg.quant["wino"]) == set(wino_layers)
-    int8_out, _ = qg(embs, pose)
-
-    err = np.abs(np.asarray(int8_out) - np.asarray(float_out)).mean()
-    ref = np.abs(np.asarray(float_out)).mean()
-    assert err / ref < 0.06, (err, ref)
-
-
 def test_encoder_forward_matches_module_and_int8_close():
     """roi_fgbg_forward float path == RoiEncoderFgBg.apply; int8 error in
     the same class as the generator's."""
@@ -380,7 +344,7 @@ def test_per_channel_uniform_fold_is_bitwise_per_tensor():
                                      emb_dim=embs.shape[-1])
     qc = {"weights": weights,
           "act_scales": {k: jnp.asarray(v) for k, v in vec_scales.items()},
-          "wino": {}, "act_folded": jnp.int8(1)}
+          "act_folded": jnp.int8(1)}
     out_c, _ = quant.uae_forward(params, embs, pose, REPEAT, HID, quant=qc)
     np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_c),
                                rtol=1e-5, atol=1e-5)
