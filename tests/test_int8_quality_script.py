@@ -27,3 +27,24 @@ def test_quality_sweep_smoke(tmp_path):
                   cfg_overrides=tiny) is True
     assert q.gate(str(tmp_path), max_delta=0.5, min_ssim=1.1,
                   cfg_overrides=tiny) is False
+
+    # resume guard: re-running train with a target at/below the restored
+    # step must NOT write a mislabeled checkpoint (ADVICE r4)
+    from dpig_tpu.train import checkpoint as ckpt
+    before = ckpt.latest_checkpoint(str(tmp_path))
+    q.train(2, str(tmp_path), pool_size=2, cfg_overrides=tiny)
+    assert ckpt.latest_checkpoint(str(tmp_path)) == before
+    assert not os.path.exists(os.path.join(str(tmp_path), "ckpt", "step_00000002"))
+
+
+def test_gen_repeat_df256_shape():
+    """--size=256 must check the generator at repeat_num-1 (the DF
+    model-101 generator depth, trainer_256.py:597) and keep quality
+    batches under the 256^2 calibration OOM ceiling."""
+    import int8_quality as q
+    from dpig_tpu.config import Config
+
+    assert q._gen_repeat(Config(img_H=128, img_W=64)) == 5
+    assert q._gen_repeat(Config(**q.DF256)) == 5  # 256: repeat 6 -> gen 5
+    assert Config(**q.DF256).repeat_num == 6
+    assert q.DF256["batch_size"] <= 32
