@@ -89,27 +89,55 @@ def build_chain(batch_size: int):
     return gen_chain, args
 
 
-BUCKETS = [
-    # (bucket, name substrings) — first match wins; trace fusion names
-    # carry their epilogue op (CLAUDE.md: convs appear as
-    # clamp_convert_fusion / add_convert_fusion)
-    ("conv", ("convolution", "conv")),
-    ("dense", ("dot",)),
-    ("raster/rng", ("iota", "rng", "threefry", "erf_inv")),
-    ("glue:concat", ("concatenate",)),
-    ("glue:quant", ("clamp", "round", "convert")),
-    ("glue:copy", ("copy", "transpose", "reshape", "bitcast", "slice",
-                   "pad", "broadcast", "select", "compare", "dynamic")),
-    ("reduce", ("reduce",)),
-]
+def hlo_attribution(compiled_text: str) -> dict:
+    """name -> (bucket, shape, jaxpr op_name tail) from the compiled HLO.
 
+    A trace fusion's *name* carries its epilogue op (CLAUDE.md: convs show
+    up as clamp_convert_fusion), so bucketing by name alone mislabels.
+    The HLO line has the truth: a fusion whose computation contains a
+    convolution/dot feeds the MXU; its metadata op_name says which jaxpr
+    op (conv_general_dilated / GaussianMapper dot_general / raster iota)
+    it came from.
+    """
+    import re
 
-def bucket_of(name: str) -> str:
-    n = name.lower()
-    for b, keys in BUCKETS:
-        if any(k in n for k in keys):
-            return b
-    return "other"
+    attr: dict = {}
+    for ln in compiled_text.splitlines():
+        ln = ln.strip()
+        if not ln.startswith(("%", "ROOT %")) or " = " not in ln:
+            continue
+        name = ln.split(" = ", 1)[0].lstrip("ROOT ").lstrip("%")
+        rhs = ln.split(" = ", 1)[1]
+        toks = rhs.split(None, 2)
+        shape, opcode = toks[0], toks[1].split("(")[0]
+        m = re.search(r'op_name="([^"]+)"', ln)
+        op_name = m.group(1) if m else ""
+        is_conv_emit = '"emitter"' in ln or "convolution_algorithm" in ln
+        jaxpr_op = op_name.rsplit("/", 1)[-1]
+        if (opcode == "convolution" or is_conv_emit
+                or jaxpr_op.startswith("conv_general_dilated")):
+            bucket = "conv(+fused epilogue)"
+        elif "dot_general" in jaxpr_op or opcode == "dot":
+            bucket = "dense(mapper)"
+        elif any(k in op_name for k in ("iota", "erf_inv", "threefry",
+                                        "random", "fold_in")):
+            bucket = "raster/rng"
+        elif "concatenate" in jaxpr_op:
+            bucket = "glue:concat"
+        elif any(k in jaxpr_op for k in ("convert_element_type", "clamp",
+                                         "round")):
+            bucket = "glue:quant"
+        elif opcode in ("copy", "copy-start", "copy-done", "broadcast",
+                        "slice", "dynamic-slice", "dynamic-update-slice",
+                        "transpose", "reshape", "bitcast", "pad") or any(
+                k in jaxpr_op for k in ("broadcast", "slice", "squeeze",
+                                        "transpose", "reshape", "pad")):
+            bucket = "glue:copy"
+        else:
+            bucket = "glue:other"
+        tail = "/".join(op_name.split("/")[-2:])
+        attr[name] = (bucket, shape, tail)
+    return attr
 
 
 def main() -> None:
@@ -121,7 +149,9 @@ def main() -> None:
     logdir = "/tmp/glue_trace"
 
     gen_chain, args = build_chain(batch)
-    _ = np.asarray(gen_chain(*args, 1)[0, 0, 0])  # compile + warm
+    compiled = jax.jit(gen_chain).lower(*args, iters).compile()
+    attr = hlo_attribution(compiled.as_text())
+    _ = np.asarray(gen_chain(*args, 1)[0, 0, 0])  # warm (same executable)
     jax.profiler.start_trace(logdir)
     out = gen_chain(*args, iters)
     _ = np.asarray(out[0, 0, 0])
@@ -131,29 +161,48 @@ def main() -> None:
     assert files, f"no trace written under {logdir}"
     with gzip.open(files[-1], "rt") as f:
         trace = json.load(f)
+    # device compute lane = the "XLA Ops" thread of the /device:* process
+    dev_pid, ops_tid = None, None
+    for ev in trace["traceEvents"]:
+        if ev.get("ph") != "M":
+            continue
+        if (ev.get("name") == "process_name"
+                and "/device:" in ev["args"].get("name", "")):
+            dev_pid = ev["pid"]
+        if (ev.get("name") == "thread_name"
+                and ev["args"].get("name") == "XLA Ops"):
+            ops_tid = (ev["pid"], ev.get("tid"))
     per_op: dict = {}
+    loop_ms = 0.0
     for ev in trace.get("traceEvents", []):
-        if ev.get("ph") != "X" or "dur" not in ev:
+        if (ev.get("ph") != "X" or "dur" not in ev
+                or ev.get("pid") != dev_pid
+                or (ev.get("pid"), ev.get("tid")) != ops_tid):
             continue
         name = ev.get("name", "")
-        # keep only device-lane compute events: skip obvious host lanes
-        cat = (ev.get("args") or {}).get("device_type", "")
+        if name.startswith("while."):       # the enclosing fori_loop event
+            loop_ms += ev["dur"] / 1e3 / iters
+            continue
         per_op[name] = per_op.get(name, 0.0) + ev["dur"]
 
     rows = sorted(per_op.items(), key=lambda kv: -kv[1])
     totals: dict = {}
-    print(f"{'op (per-iter ms)':60s} {'ms':>8s}  bucket")
+    print(f"{'op (per-iter ms)':34s} {'ms':>8s}  {'bucket':22s} "
+          f"shape / jaxpr op")
     for name, us in rows:
         ms = us / 1e3 / iters
-        b = bucket_of(name)
+        b, shape, tail = attr.get(name, ("other", "?", ""))
         totals[b] = totals.get(b, 0.0) + ms
         if ms >= 0.02:
-            print(f"{name[:60]:60s} {ms:8.3f}  {b}")
-    print("\nbucket totals (ms/iter @ bs%d):" % batch)
+            print(f"{name[:34]:34s} {ms:8.3f}  {b:22s} "
+                  f"{shape[:28]:28s} {tail[:40]}")
+    print(f"\nbucket totals (ms/iter @ bs{batch}, "
+          f"loop body total {loop_ms:.3f} ms):")
     grand = sum(totals.values())
     for b, ms in sorted(totals.items(), key=lambda kv: -kv[1]):
-        print(f"  {b:12s} {ms:8.3f}  ({100 * ms / grand:4.1f}%)")
-    print(f"  {'TOTAL':12s} {grand:8.3f}")
+        print(f"  {b:22s} {ms:8.3f}  ({100 * ms / grand:4.1f}%)")
+    print(f"  {'TOTAL':22s} {grand:8.3f}  "
+          f"(scheduling gaps: {loop_ms - grand:+.3f})")
 
 
 if __name__ == "__main__":
