@@ -7,9 +7,13 @@ embedding space against the *frozen* Stage-I encoder's embeddings.
 
 TPU design: the G update and all critic iterations run inside one jitted
 step. The reference pulls a fresh input batch per sess.run (queue
-semantics); here the critic iterations reuse the step's batch but draw
-fresh mapper noise per iteration — same optimization geometry, one
-device-resident batch.
+semantics, trainer.py:821-845); that is the default here too
+(`--critic_batch_mode=fresh`: the harness feeds 1+CRITIC_ITERS batches
+per step and each critic iteration sees its own real embeddings). The
+fused single-batch variant (`reused`: critic iterations reuse the step's
+batch with fresh mapper noise) costs 6x fewer frozen-encoder forwards
+but measured worse on the fg sampler's moment match
+(scripts/critic_batch_ab.py, docs/critic_ab_r5.json).
 
 For the Market model the FG and BG samplers train side by side
 (trainer.py:821-845); the DF model 103 has a single 7*32-d sampler
@@ -41,6 +45,11 @@ class Stage2AppApp:
     def __init__(self, cfg: Config, split_fg_bg: bool = True):
         self.cfg = cfg
         self.split_fg_bg = split_fg_bg
+        # How many loader batches the harness must feed train_step:
+        # 1+CRITIC_ITERS under the reference's fresh-batch-per-critic-
+        # iteration semantics (the default), 1 for the fused reused step.
+        self.batches_per_step = (1 + gan.CRITIC_ITERS
+                                 if cfg.critic_batch_mode == "fresh" else 1)
         self.stage1 = Stage1App(cfg, fg_bg=split_fg_bg and cfg.img_H < 256)
         self.fg_dim = cfg.roi_part_num * cfg.roi_z_num          # 224
         self.bg_dim = cfg.roi_z_num * 4                          # 128
@@ -99,13 +108,22 @@ class Stage2AppApp:
         return fg, bg
 
     # --------------------------------------------------------------- step
-    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def train_step(self, state: GanState, batch: Dict[str, jax.Array],
+    def train_step(self, state: GanState, batch,
                    rng: jax.Array) -> Tuple[GanState, Dict[str, jax.Array]]:
-        """Default fused step: critic iterations reuse the step's batch
-        (fresh mapper noise per iteration). Measured equivalent to the
-        reference's fresh-queue-batch critics — scripts/critic_batch_ab.py
-        — which remain available via train_step_fresh."""
+        """Dispatch on the batch form: a sequence of 1+CRITIC_ITERS batch
+        dicts runs the reference's fresh-batch-per-critic-iteration
+        semantics (what the harness feeds under the default
+        --critic_batch_mode=fresh); a single batch dict runs the fused
+        reused-batch step (critic iterations reuse it with fresh mapper
+        noise — measured A/B in docs/critic_ab_r5.json)."""
+        if isinstance(batch, (list, tuple)):
+            return self.train_step_fresh(state, tuple(batch), rng)
+        return self._train_step_reused(state, batch, rng)
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _train_step_reused(self, state: GanState, batch: Dict[str, jax.Array],
+                           rng: jax.Array
+                           ) -> Tuple[GanState, Dict[str, jax.Array]]:
         return self._step_impl(state, batch, rng, None)
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)

@@ -42,6 +42,10 @@ class Stage2PoseApp:
         self.stage1 = Stage1App(cfg, fg_bg=cfg.img_H < 256)
         self.mapper = GaussianMapper(out_dim=POSE_Z, hidden_num=512)
         self.disc = FCDiscriminator(fc_dim=512, n_layers=3)
+        # Batches the harness feeds per step: 1+CRITIC_ITERS under the
+        # reference's fresh-batch critic semantics (default), else 1.
+        self.batches_per_step = (1 + gan.CRITIC_ITERS
+                                 if cfg.critic_batch_mode == "fresh" else 1)
 
     def init_state(self, rng: jax.Array, frozen_params=None) -> GanState:
         """frozen_params: {'PoseAE': ..., 'Encoder': ..., 'ID_AE': ...}."""
@@ -80,9 +84,34 @@ class Stage2PoseApp:
         return self.mapper.apply({"params": g_params["PoseGaussian"]}, z)
 
     # --------------------------------------------------------------- step
-    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def train_step(self, state: GanState, batch: Dict[str, jax.Array],
+    def train_step(self, state: GanState, batch,
                    rng: jax.Array) -> Tuple[GanState, Dict[str, jax.Array]]:
+        """Sequence of 1+CRITIC_ITERS batch dicts -> reference fresh-batch
+        critic semantics (the --critic_batch_mode=fresh default); single
+        dict -> fused reused-batch step. See stage2_app.train_step."""
+        if isinstance(batch, (list, tuple)):
+            return self.train_step_fresh(state, tuple(batch), rng)
+        return self._train_step_reused(state, batch, rng)
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def _train_step_reused(self, state: GanState, batch: Dict[str, jax.Array],
+                           rng: jax.Array
+                           ) -> Tuple[GanState, Dict[str, jax.Array]]:
+        return self._step_impl(state, batch, rng, None)
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step_fresh(self, state: GanState, batches,
+                         rng: jax.Array
+                         ) -> Tuple[GanState, Dict[str, jax.Array]]:
+        """Reference queue semantics (trainer.py:975-989): every critic
+        sess.run pulls its own batch; batches[0] feeds the G update."""
+        critic_reals = [self.real_pose_embs(state.frozen_params, b)
+                        for b in batches[1:]]
+        return self._step_impl(state, batches[0], rng, critic_reals)
+
+    def _step_impl(self, state: GanState, batch: Dict[str, jax.Array],
+                   rng: jax.Array, critic_reals
+                   ) -> Tuple[GanState, Dict[str, jax.Array]]:
         b = batch["pose_rcv"].shape[0]
         real = self.real_pose_embs(state.frozen_params, batch)
         rngs = jax.random.split(rng, 1 + gan.CRITIC_ITERS)
@@ -100,10 +129,11 @@ class Stage2PoseApp:
         for i in range(gan.CRITIC_ITERS):
             fake = jax.lax.stop_gradient(
                 self.sample_pose_embs(state.g_params, rngs[1 + i], b))
+            it_real = critic_reals[i] if critic_reals else real
 
             def d_loss_fn(d_params):
                 d_real = self.disc.apply(
-                    {"params": d_params["Pose_emb_FCDis"]}, real)
+                    {"params": d_params["Pose_emb_FCDis"]}, it_real)
                 d_fake = self.disc.apply(
                     {"params": d_params["Pose_emb_FCDis"]}, fake)
                 return gan.d_loss(GAN_MODE, d_real, d_fake)

@@ -153,6 +153,17 @@ class Config:
     # generator+encoder forward less per step (~17% on the v5e), with
     # slightly different (standard simultaneous-GAN) dynamics.
     fast_gan_step: bool = False
+    # Stage-II WGAN critic batching (models 3/4/103). The reference pulls
+    # a FRESH queue batch for every critic sess.run (trainer.py:821-845);
+    # 'fresh' replicates that — the harness feeds 1+CRITIC_ITERS batches
+    # per step. 'reused' is the fused single-batch step (critic
+    # iterations reuse the G step's batch with fresh mapper noise) —
+    # 6x fewer frozen-encoder forwards per step. Measured A/B
+    # (scripts/critic_batch_ab.py 2000 32, docs/critic_ab_r5.json):
+    # fresh wins the fg sampler's moment match (std gap 0.0083 vs
+    # 0.0294, mean gap 0.0178 vs 0.0238, Wasserstein tail 0.070 vs
+    # 0.318) and ties bg — reference semantics is therefore the default.
+    critic_batch_mode: str = "fresh"    # 'fresh' | 'reused'
     # NOTE a deleted experiment: --train_pin_layouts (pin every train-graph
     # activation to the fast conv layout) was A/B'd twice on chip — r3
     # (degraded window): 306 vs 304 img/s; r4: 324.6/327.9 pinned vs

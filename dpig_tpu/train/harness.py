@@ -110,10 +110,19 @@ class Trainer:
         # actual number of steps it covers (a single step at step==0), not
         # by log_step — the reference-style batch*log_step/elapsed formula
         # overstated the first reading by ~log_step x.
+        # Stage-II WGAN apps under --critic_batch_mode=fresh declare
+        # batches_per_step=1+CRITIC_ITERS: every critic iteration gets its
+        # own loader batch (reference queue semantics, trainer.py:821-845).
+        n_batches = getattr(self.app, "batches_per_step", 1)
         for step in range(start, cfg.max_step):
-            batch = next(self.loader)
-            if self.mesh is not None:
-                batch = shard_batch(batch, self.mesh)
+            if n_batches > 1:
+                batch = tuple(next(self.loader) for _ in range(n_batches))
+                if self.mesh is not None:
+                    batch = tuple(shard_batch(b, self.mesh) for b in batch)
+            else:
+                batch = next(self.loader)
+                if self.mesh is not None:
+                    batch = shard_batch(batch, self.mesh)
             rng, sub = jax.random.split(rng)
             state, metrics = self.app.train_step(state, batch, sub)
 

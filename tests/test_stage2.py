@@ -119,6 +119,87 @@ def test_stage2_fresh_critic_batches_identical_when_same_batch():
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
 
 
+def test_stage2_batches_per_step_follows_critic_batch_mode():
+    """--critic_batch_mode=fresh (default) makes every stage-2 app ask the
+    harness for 1+CRITIC_ITERS batches/step; 'reused' asks for one."""
+    from dpig_tpu.apps.stage2_app_single import Stage2AppSingleApp
+    from dpig_tpu.losses import gan
+    n = 1 + gan.CRITIC_ITERS
+    for cls in (Stage2AppApp, Stage2PoseApp, Stage2AppSingleApp):
+        assert cls(small_cfg()).batches_per_step == n, cls
+        assert cls(small_cfg(critic_batch_mode="reused")).batches_per_step == 1
+
+
+def test_stage2_pose_fresh_equals_reused_on_same_batch():
+    """Pose-sampler fresh step == fused step bitwise when all critic
+    batches ARE the step batch (mirrors the Stage2AppApp pin)."""
+    from dpig_tpu.losses import gan
+    cfg = small_cfg()
+    app = Stage2PoseApp(cfg)
+    state_a = app.init_state(jax.random.PRNGKey(0))
+    state_b = app.init_state(jax.random.PRNGKey(0))
+    batch = {k: jnp.asarray(v) for k, v in
+             next(SyntheticLoader(cfg.batch_size, cfg.img_H, cfg.img_W,
+                                  seed=13)).items()}
+    r = jax.random.PRNGKey(4)
+    state_a, m_a = app.train_step(state_a, dict(batch), r)
+    # tuple input -> the dispatcher routes to the fresh-jitted step
+    state_b, m_b = app.train_step(
+        state_b, tuple(dict(batch) for _ in range(1 + gan.CRITIC_ITERS)), r)
+    for k in m_a:
+        np.testing.assert_array_equal(np.asarray(m_a[k]),
+                                      np.asarray(m_b[k]), err_msg=k)
+    for la, lb in zip(jax.tree_util.tree_leaves(state_a.g_params),
+                      jax.tree_util.tree_leaves(state_b.g_params)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_stage2_single_fresh_equals_reused_on_same_batch():
+    from dpig_tpu.apps.stage2_app_single import Stage2AppSingleApp
+    from dpig_tpu.losses import gan
+    cfg = small_cfg()
+    app = Stage2AppSingleApp(cfg)
+    state_a = app.init_state(jax.random.PRNGKey(0))
+    state_b = app.init_state(jax.random.PRNGKey(0))
+    batch = {k: jnp.asarray(v) for k, v in
+             next(SyntheticLoader(cfg.batch_size, cfg.img_H, cfg.img_W,
+                                  seed=14)).items()}
+    r = jax.random.PRNGKey(4)
+    state_a, m_a = app.train_step(state_a, dict(batch), r)
+    state_b, m_b = app.train_step(
+        state_b, tuple(dict(batch) for _ in range(1 + gan.CRITIC_ITERS)), r)
+    for k in m_a:
+        np.testing.assert_array_equal(np.asarray(m_a[k]),
+                                      np.asarray(m_b[k]), err_msg=k)
+
+
+def test_harness_feeds_fresh_critic_batches(tmp_path):
+    """End-to-end: the Trainer pulls batches_per_step batches per step for
+    a stage-2 app under the fresh default (reference trainer.py:821-845
+    queue semantics) and one per step under --critic_batch_mode=reused."""
+    from dpig_tpu.losses import gan
+    from dpig_tpu.train.harness import Trainer
+
+    class CountingLoader:
+        def __init__(self, inner):
+            self.inner, self.pulls = inner, 0
+
+        def __next__(self):
+            self.pulls += 1
+            return next(self.inner)
+
+    for mode, per_step in (("fresh", 1 + gan.CRITIC_ITERS), ("reused", 1)):
+        cfg = small_cfg(max_step=2, log_step=1,
+                        model_dir=str(tmp_path / mode),
+                        critic_batch_mode=mode)
+        app = Stage2AppApp(cfg)
+        loader = CountingLoader(
+            SyntheticLoader(cfg.batch_size, cfg.img_H, cfg.img_W, seed=15))
+        Trainer(cfg, app, loader).train()
+        # +1: the fixed preview batch pulled before the loop
+        assert loader.pulls == 1 + cfg.max_step * per_step, mode
+
+
 def test_stage2_fresh_critic_batches_distinct_runs():
     """Fresh mode with genuinely distinct critic batches runs and stays
     finite + clipped (the mode scripts/critic_batch_ab.py measures)."""
