@@ -10,6 +10,19 @@ from ..config import Config
 from ..ops.pose import render_pose_maps
 
 
+def critic_batches_per_step(cfg: Config) -> int:
+    """Loader batches a stage-2 WGAN step consumes: 1+CRITIC_ITERS under
+    the reference's fresh-batch-per-critic-iteration queue semantics
+    (--critic_batch_mode=fresh, the measured default — docs/
+    critic_ab_r5.json), 1 for the fused reused-batch step."""
+    from ..losses import gan
+    if cfg.critic_batch_mode not in ("fresh", "reused"):
+        raise ValueError(
+            f"--critic_batch_mode must be 'fresh' or 'reused', "
+            f"got {cfg.critic_batch_mode!r}")
+    return 1 + gan.CRITIC_ITERS if cfg.critic_batch_mode == "fresh" else 1
+
+
 def select_parts(batch_bbox: jax.Array, batch_vis: jax.Array, n: int = 7):
     """Take the first n of the 37 stored part bboxes (trainer.py:576-578)."""
     return batch_bbox[:, :n, :], batch_vis[:, :n].astype(jnp.float32)

@@ -33,7 +33,7 @@ from ..losses import gan
 from ..models.discriminators import FCDiscriminator
 from ..models.mappers import GaussianMapper, sample_mapper_noise
 from ..train.state import GanState, make_optimizer
-from .common import pose_maps_from_batch, select_parts
+from .common import critic_batches_per_step, pose_maps_from_batch, select_parts
 from .stage1_app import Stage1App
 
 GAN_MODE = "wgan"  # trainer.py:720-725
@@ -48,8 +48,7 @@ class Stage2AppApp:
         # How many loader batches the harness must feed train_step:
         # 1+CRITIC_ITERS under the reference's fresh-batch-per-critic-
         # iteration semantics (the default), 1 for the fused reused step.
-        self.batches_per_step = (1 + gan.CRITIC_ITERS
-                                 if cfg.critic_batch_mode == "fresh" else 1)
+        self.batches_per_step = critic_batches_per_step(cfg)
         self.stage1 = Stage1App(cfg, fg_bg=split_fg_bg and cfg.img_H < 256)
         self.fg_dim = cfg.roi_part_num * cfg.roi_z_num          # 224
         self.bg_dim = cfg.roi_z_num * 4                          # 128

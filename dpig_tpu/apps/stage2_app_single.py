@@ -18,7 +18,7 @@ from ..losses import gan
 from ..models.discriminators import FCDiscriminator
 from ..models.mappers import GaussianMapper, sample_mapper_noise
 from ..train.state import GanState, make_optimizer
-from .common import pose_maps_from_batch, select_parts
+from .common import critic_batches_per_step, pose_maps_from_batch, select_parts
 from .stage1_app import Stage1App
 
 GAN_MODE = "wgan"
@@ -33,8 +33,7 @@ class Stage2AppSingleApp:
         self.disc = FCDiscriminator(fc_dim=512, n_layers=3)
         # Batches the harness feeds per step: 1+CRITIC_ITERS under the
         # reference's fresh-batch critic semantics (default), else 1.
-        self.batches_per_step = (1 + gan.CRITIC_ITERS
-                                 if cfg.critic_batch_mode == "fresh" else 1)
+        self.batches_per_step = critic_batches_per_step(cfg)
 
     def init_state(self, rng: jax.Array, frozen_params=None) -> GanState:
         cfg = self.cfg

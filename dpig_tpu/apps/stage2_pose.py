@@ -25,7 +25,7 @@ from ..models.discriminators import FCDiscriminator
 from ..models.mappers import GaussianMapper, sample_mapper_noise
 from ..ops.pose import pose_rcv_normalize, render_pose_maps
 from ..train.state import GanState, make_optimizer
-from .common import select_parts
+from .common import critic_batches_per_step, select_parts
 from .stage1_app import Stage1App
 from .stage1_pose import Stage1PoseApp
 
@@ -44,8 +44,7 @@ class Stage2PoseApp:
         self.disc = FCDiscriminator(fc_dim=512, n_layers=3)
         # Batches the harness feeds per step: 1+CRITIC_ITERS under the
         # reference's fresh-batch critic semantics (default), else 1.
-        self.batches_per_step = (1 + gan.CRITIC_ITERS
-                                 if cfg.critic_batch_mode == "fresh" else 1)
+        self.batches_per_step = critic_batches_per_step(cfg)
 
     def init_state(self, rng: jax.Array, frozen_params=None) -> GanState:
         """frozen_params: {'PoseAE': ..., 'Encoder': ..., 'ID_AE': ...}."""

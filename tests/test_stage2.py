@@ -128,6 +128,9 @@ def test_stage2_batches_per_step_follows_critic_batch_mode():
     for cls in (Stage2AppApp, Stage2PoseApp, Stage2AppSingleApp):
         assert cls(small_cfg()).batches_per_step == n, cls
         assert cls(small_cfg(critic_batch_mode="reused")).batches_per_step == 1
+    import pytest
+    with pytest.raises(ValueError, match="critic_batch_mode"):
+        Stage2AppApp(small_cfg(critic_batch_mode="frsh"))
 
 
 def test_stage2_pose_fresh_equals_reused_on_same_batch():
