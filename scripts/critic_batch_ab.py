@@ -7,7 +7,10 @@ WGAN embedding samplers both ways from identical init/seeds and compares
 the critic's Wasserstein estimate and the fake-vs-real embedding moment
 match — the evidence behind PARITY.md's "measured: equivalent" note.
 
-  python scripts/critic_batch_ab.py [steps] [batch_size]
+  python scripts/critic_batch_ab.py [steps] [batch_size] [seed]
+
+`seed` (default 0) offsets every PRNG stream (init, loader, step noise)
+so independent replications of the A/B are cheap.
 
 CPU-friendly: tiny image config; all cost is in the frozen-encoder
 forward (6x/step in fresh mode vs 1x reused).
@@ -20,7 +23,7 @@ import sys
 import numpy as np
 
 
-def run(mode: str, steps: int, batch_size: int):
+def run(mode: str, steps: int, batch_size: int, seed: int = 0):
     import jax
     import jax.numpy as jnp
     from dpig_tpu.apps.stage2_app import Stage2AppApp
@@ -31,9 +34,9 @@ def run(mode: str, steps: int, batch_size: int):
     cfg = Config(img_H=32, img_W=16, batch_size=batch_size,
                  conv_hidden_num=16, z_num=16, synthetic_data=True)
     app = Stage2AppApp(cfg)
-    state = app.init_state(jax.random.PRNGKey(0))
-    loader = SyntheticLoader(batch_size, cfg.img_H, cfg.img_W, seed=7)
-    rng = jax.random.PRNGKey(1)
+    state = app.init_state(jax.random.PRNGKey(100 * seed))
+    loader = SyntheticLoader(batch_size, cfg.img_H, cfg.img_W, seed=7 + seed)
+    rng = jax.random.PRNGKey(100 * seed + 1)
 
     n_per_step = 1 + gan.CRITIC_ITERS if mode == "fresh" else 1
     curve = []
@@ -83,10 +86,11 @@ def main():
     jax.config.update("jax_platforms", "cpu")
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     batch_size = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     results = {}
     for mode in ("reused", "fresh"):
-        print(f"=== mode={mode} ({steps} steps, bs{batch_size})")
-        results[mode] = run(mode, steps, batch_size)
+        print(f"=== mode={mode} ({steps} steps, bs{batch_size}, seed{seed})")
+        results[mode] = run(mode, steps, batch_size, seed)
     print(f"\n{'metric':16s} {'reused':>10s} {'fresh':>10s}")
     for k in results["reused"]:
         print(f"{k:16s} {results['reused'][k]:10.4f} "
