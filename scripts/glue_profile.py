@@ -8,6 +8,12 @@ and (b) the bucket totals — the measured version of docs/ROOFLINE.md's
 "remaining ~6%" so each row can be marked mandatory vs attackable.
 
   python scripts/glue_profile.py [batch] [iters]
+  python scripts/glue_profile.py train [batch] [steps] [fast]
+
+The `train` mode applies the same attribution to the Stage-I G+D train
+step (the ROOFLINE.md training row: 80% of its conv roofline at bs128
+fast — this decomposes the other 20%). Convs split fwd vs bwd by the
+autodiff `transpose(` scope in their HLO op_name metadata.
 
 The per-HLO durations in the trace are REAL (CLAUDE.md profiling
 workflow) — unlike the compile oracle's estimated_cycles, which is 3-6x
@@ -89,7 +95,26 @@ def build_chain(batch_size: int):
     return gen_chain, args
 
 
-def hlo_attribution(compiled_text: str) -> dict:
+def build_train_step(batch_size: int, fast: bool):
+    """The Stage-I full G+D jitted train step (train_bench.py config)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dpig_tpu.apps.stage1_app import Stage1App
+    from dpig_tpu.config import Config
+    from dpig_tpu.data.synthetic import synthetic_batch
+
+    cfg = Config(img_H=128, img_W=64, batch_size=batch_size,
+                 compute_dtype="bfloat16", fast_gan_step=fast,
+                 model_dir="/tmp/glueprof_train")
+    app = Stage1App(cfg)
+    state = app.init_state(jax.random.PRNGKey(0))
+    b = synthetic_batch(np.random.default_rng(0), batch_size, 128, 64)
+    jb = {k: jnp.asarray(v) for k, v in b.items()}
+    return app, state, jb
+
+
+def hlo_attribution(compiled_text: str, train: bool = False) -> dict:
     """name -> (bucket, shape, jaxpr op_name tail) from the compiled HLO.
 
     A trace fusion's *name* carries its epilogue op (CLAUDE.md: convs show
@@ -116,12 +141,19 @@ def hlo_attribution(compiled_text: str) -> dict:
         jaxpr_op = op_name.rsplit("/", 1)[-1]
         if (opcode == "convolution" or is_conv_emit
                 or jaxpr_op.startswith("conv_general_dilated")):
-            bucket = "conv(+fused epilogue)"
+            if train:
+                bucket = ("conv-bwd(d/wgrad)" if "transpose(" in op_name
+                          else "conv-fwd(+epilogue)")
+            else:
+                bucket = "conv(+fused epilogue)"
         elif "dot_general" in jaxpr_op or opcode == "dot":
-            bucket = "dense(mapper)"
+            bucket = "dense(D-head)" if train else "dense(mapper)"
         elif any(k in op_name for k in ("iota", "erf_inv", "threefry",
                                         "random", "fold_in")):
             bucket = "raster/rng"
+        elif opcode in ("reduce", "reduce-window") or jaxpr_op.startswith(
+                ("reduce_", "cumsum", "argmax", "argmin")):
+            bucket = "reduce(loss/stats)"
         elif "concatenate" in jaxpr_op:
             bucket = "glue:concat"
         elif any(k in jaxpr_op for k in ("convert_element_type", "clamp",
@@ -144,18 +176,36 @@ def main() -> None:
     import numpy as np
     import jax
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    train = len(sys.argv) > 1 and sys.argv[1] == "train"
+    argv = sys.argv[2:] if train else sys.argv[1:]
+    batch = int(argv[0]) if len(argv) > 0 else (128 if train else 256)
+    iters = int(argv[1]) if len(argv) > 1 else 10
+    fast = "fast" in argv[2:]
     logdir = "/tmp/glue_trace"
 
-    gen_chain, args = build_chain(batch)
-    compiled = jax.jit(gen_chain).lower(*args, iters).compile()
-    attr = hlo_attribution(compiled.as_text())
-    _ = np.asarray(gen_chain(*args, 1)[0, 0, 0])  # warm (same executable)
-    jax.profiler.start_trace(logdir)
-    out = gen_chain(*args, iters)
-    _ = np.asarray(out[0, 0, 0])
-    jax.profiler.stop_trace()
+    if train:
+        import jax.random as jrandom
+        app, state, jb = build_train_step(batch, fast)
+        rng = jrandom.PRNGKey(1)
+        attr = hlo_attribution(
+            type(app).train_step.lower(app, state, jb, rng).compile()
+            .as_text(), train=True)
+        state, m = app.train_step(state, jb, rng)       # warm
+        _ = np.asarray(m["g_loss"])
+        jax.profiler.start_trace(logdir)
+        for i in range(iters):
+            state, m = app.train_step(state, jb, jrandom.fold_in(rng, i))
+        _ = np.asarray(m["g_loss"])
+        jax.profiler.stop_trace()
+    else:
+        gen_chain, args = build_chain(batch)
+        compiled = jax.jit(gen_chain).lower(*args, iters).compile()
+        attr = hlo_attribution(compiled.as_text())
+        _ = np.asarray(gen_chain(*args, 1)[0, 0, 0])  # warm (same exec.)
+        jax.profiler.start_trace(logdir)
+        out = gen_chain(*args, iters)
+        _ = np.asarray(out[0, 0, 0])
+        jax.profiler.stop_trace()
 
     files = sorted(glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True))
     assert files, f"no trace written under {logdir}"
@@ -196,13 +246,17 @@ def main() -> None:
         if ms >= 0.02:
             print(f"{name[:34]:34s} {ms:8.3f}  {b:22s} "
                   f"{shape[:28]:28s} {tail[:40]}")
-    print(f"\nbucket totals (ms/iter @ bs{batch}, "
-          f"loop body total {loop_ms:.3f} ms):")
+    kind = (f"train step (fast={fast})" if train else "loop body")
+    head = (f"\nbucket totals (ms/step @ bs{batch}, {kind}):" if train else
+            f"\nbucket totals (ms/iter @ bs{batch}, "
+            f"loop body total {loop_ms:.3f} ms):")
+    print(head)
     grand = sum(totals.values())
     for b, ms in sorted(totals.items(), key=lambda kv: -kv[1]):
         print(f"  {b:22s} {ms:8.3f}  ({100 * ms / grand:4.1f}%)")
-    print(f"  {'TOTAL':22s} {grand:8.3f}  "
-          f"(scheduling gaps: {loop_ms - grand:+.3f})")
+    tail = ("" if train else
+            f"  (scheduling gaps: {loop_ms - grand:+.3f})")
+    print(f"  {'TOTAL':22s} {grand:8.3f}{tail}")
 
 
 if __name__ == "__main__":
