@@ -3,11 +3,18 @@
   python scripts/int8_quality.py train <steps> [model_dir] [--size=256]
       [--lr=...] [--pool=N]
   python scripts/int8_quality.py check <model_dir> [--per_layer]
-      [--percentile=99.9] [--method=entropy|channel]
+      [--percentile=99.9] [--method=entropy|channel] [--transfer]
       [--fallback=dec/Conv_13,to_rgb] [--size=256]
   python scripts/int8_quality.py sweep <model_dir> [--size=256]
   python scripts/int8_quality.py gate <model_dir>    # CI/deploy gate:
-      [--max_delta=0.002] [--min_ssim=0.9] [--size=256]  # exit 1 on fail
+      [--max_delta=0.002] [--min_ssim=0.9] [--size=256] [--transfer]
+
+`--transfer` gates the model-12 conditional-transfer pipeline instead of
+the sampling one: the int8 side runs QuantizedEncoder (stem + both ROI
+towers int8) feeding the chained-int8 generator — the tester's
+--inference_dtype=int8 wiring — against the all-float pipeline, and
+additionally reports the int8 encoder's embedding rel-error. 128x64
+FgBg family only (no int8 encoder exists at 256 by design).
 
 `train` runs Stage-I (Market 128x64 bs64, or with --size=256 the
 DeepFashion model-101 shape: 256x256, RoiEncoder repeat+1, generator
@@ -150,6 +157,13 @@ def _gate_context(model_dir: str, n_batches: int,
         pose = pose_maps_from_batch(jb, cfg)
         return embs, pose, jb
 
+    def enc_inputs(b):
+        """(x, fg_mask, bbox, vis) — the QuantizedEncoder batch tuple."""
+        jb = {k: jnp.asarray(v) for k, v in b.items()}
+        bbox, vis = select_parts(jb["part_bbox"], jb["part_vis"],
+                                 cfg.roi_part_num)
+        return jb["x"], jb["mask_r6"], bbox, vis
+
     rep = _gen_repeat(cfg)
     fwds = {
         True: jax.jit(lambda p, e, po, q: quant_mod.uae_forward(
@@ -161,20 +175,50 @@ def _gate_context(model_dir: str, n_batches: int,
     }
     fwd_f = jax.jit(lambda p, e, po: quant_mod.uae_forward(
         p, e, po, rep, cfg.conv_hidden_num)[0])
-    return dict(cfg=cfg, gen_params=gen_params, batches=batches,
-                embs_pose=embs_pose, fwds=fwds, fwd_f=fwd_f)
+    return dict(cfg=cfg, gen_params=gen_params, enc_params=enc_params,
+                batches=batches, embs_pose=embs_pose,
+                enc_inputs=enc_inputs, fwds=fwds, fwd_f=fwd_f)
 
 
 def check(model_dir: str, per_layer: bool = False, n_batches: int = 4,
           percentile=None, fallback: str = "", method: str = "channel",
-          fallback_mode: str = "island",
+          fallback_mode: str = "island", transfer: bool = False,
           cfg_overrides: dict = None, ctx: dict = None) -> dict:
     import jax
     from dpig_tpu.models import quant as quant_mod
 
+    if transfer:
+        # checked BEFORE the checkpoint restore so a 256 config fails on
+        # the real reason, not on a shape mismatch inside the restore
+        h = ctx["cfg"].img_H if ctx else (cfg_overrides or {}).get(
+            "img_H", 128)
+        assert h < 256, \
+            "--transfer gates the FgBg int8 encoder; no int8 encoder " \
+            "exists at 256 (it runs bf16 — testers._inference_params)"
     ctx = ctx or _gate_context(model_dir, n_batches, cfg_overrides)
     cfg, gen_params = ctx["cfg"], ctx["gen_params"]
     batches, embs_pose, fwd_f = ctx["batches"], ctx["embs_pose"], ctx["fwd_f"]
+
+    enc_q = None
+    if transfer:
+        # model-12 conditional-transfer semantics: the int8 side runs the
+        # FULL pipeline quantized — QuantizedEncoder (stem + both ROI
+        # towers int8) feeding the chained-int8 generator, exactly the
+        # tester's --inference_dtype=int8 wiring (testers.py
+        # _inference_params). Only the 128x64 FgBg family has an int8
+        # encoder (the 256 path's encoder runs bf16 by design).
+        granularity = "channel" if method == "channel" else "tensor"
+        qe = quant_mod.QuantizedEncoder(
+            ctx["enc_params"], cfg.repeat_num, cfg.conv_hidden_num,
+            part_num=cfg.roi_part_num, calib_granularity=granularity)
+        qe.calibrate([ctx["enc_inputs"](batches[0])])
+        enc_fwd = jax.jit(lambda p, x, m, bb, vv, qt:
+                          quant_mod.roi_fgbg_forward(
+                              p, x, m, bb, vv, cfg.repeat_num,
+                              cfg.conv_hidden_num,
+                              part_num=cfg.roi_part_num, quant=qt))
+        enc_q = lambda b: enc_fwd(ctx["enc_params"], *ctx["enc_inputs"](b),
+                                  qe.quant)  # noqa: E731
 
     bf16_layers = frozenset(n for n in fallback.split(",") if n)
     if bf16_layers:
@@ -183,6 +227,10 @@ def check(model_dir: str, per_layer: bool = False, n_batches: int = 4,
     fwd = ctx["fwds"][not bf16_layers or fallback_mode == "island"]
 
     e0, p0, _ = embs_pose(batches[0])
+    if enc_q is not None:
+        # serving-parity calibration: the generator's activation stats
+        # come from the int8 encoder's embeddings, as they do at runtime
+        e0 = enc_q(batches[0])
     if method != "absmax":
         print(f"[*] calibration method: {method}")
     granularity = "tensor"
@@ -197,11 +245,17 @@ def check(model_dir: str, per_layer: bool = False, n_batches: int = 4,
     q.calibrate([e0], [p0])
 
     from dpig_tpu.eval.metrics import ssim_images
-    ssim_if, d_float, d_int8 = [], [], []
+    ssim_if, d_float, d_int8, emb_err = [], [], [], []
     for b in batches[1:]:
         e, po, jb = embs_pose(b)
+        eq = e
+        if enc_q is not None:
+            eq = enc_q(b)
+            ef, eqn = np.asarray(e), np.asarray(eq)
+            emb_err.append(np.abs(eqn - ef).mean()
+                           / max(np.abs(ef).mean(), 1e-12))
         gf = np.asarray(fwd_f(gen_params, e, po))
-        gq = np.asarray(fwd(gen_params, e, po, q.quant))
+        gq = np.asarray(fwd(gen_params, eq, po, q.quant))
         to255 = lambda a: np.clip((a + 1) * 127.5, 0, 255)  # noqa: E731
         x255 = to255(np.asarray(jb["x"]))
         ssim_if.append(ssim_images(to255(gq), to255(gf)).mean())
@@ -211,6 +265,10 @@ def check(model_dir: str, per_layer: bool = False, n_batches: int = 4,
            "ssim_to_target_float": float(np.mean(d_float)),
            "ssim_to_target_int8": float(np.mean(d_int8)),
            "delta": float(np.mean(d_int8) - np.mean(d_float))}
+    if emb_err:
+        out["emb_rel_err"] = float(np.mean(emb_err))
+        print(f"[transfer] int8-encoder embedding rel.err = "
+              f"{out['emb_rel_err']:.4f}")
     print(f"SSIM(int8,float)      = {out['ssim_int8_float']:.4f}")
     print(f"SSIM-to-target float  = {out['ssim_to_target_float']:.4f}")
     print(f"SSIM-to-target int8   = {out['ssim_to_target_int8']:.4f}")
@@ -289,7 +347,7 @@ def sweep(model_dir: str, n_batches: int = 4,
 
 
 def gate(model_dir: str, max_delta: float = 0.002, min_ssim: float = 0.9,
-         cfg_overrides: dict = None) -> bool:
+         transfer: bool = False, cfg_overrides: dict = None) -> bool:
     """Deploy/CI regression gate for the shipping int8 defaults
     (per-channel folded calibration, chained graph). Passes iff the
     protocol metric (SSIM-to-target delta vs float, score.py semantics)
@@ -297,7 +355,7 @@ def gate(model_dir: str, max_delta: float = 0.002, min_ssim: float = 0.9,
     above min_ssim. Thresholds leave >4x margin over the measured
     defaults at the adversarial 20k-step checkpoint (delta +0.0000,
     SSIM 0.9865 — README calibration table)."""
-    r = check(model_dir, cfg_overrides=cfg_overrides)
+    r = check(model_dir, transfer=transfer, cfg_overrides=cfg_overrides)
     ok = abs(r["delta"]) <= max_delta and r["ssim_int8_float"] >= min_ssim
     print(f"[{'PASS' if ok else 'FAIL'}] |delta|={abs(r['delta']):.4f} "
           f"(max {max_delta}) SSIM(int8,float)={r['ssim_int8_float']:.4f} "
@@ -331,7 +389,7 @@ if __name__ == "__main__":
     elif sys.argv[1] == "sweep":
         sweep(sys.argv[2], cfg_overrides=overrides)
     elif sys.argv[1] == "gate":
-        kw = {}
+        kw = {"transfer": "--transfer" in sys.argv}
         for a in sys.argv[3:]:
             if a.startswith("--max_delta="):
                 kw["max_delta"] = float(a.split("=")[1])
@@ -355,4 +413,5 @@ if __name__ == "__main__":
                 fb_mode = a.split("=", 1)[1]
         check(sys.argv[2], per_layer="--per_layer" in sys.argv,
               percentile=pct, fallback=fb, method=method,
-              fallback_mode=fb_mode, cfg_overrides=overrides)
+              fallback_mode=fb_mode, transfer="--transfer" in sys.argv,
+              cfg_overrides=overrides)

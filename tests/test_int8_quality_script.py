@@ -37,6 +37,30 @@ def test_quality_sweep_smoke(tmp_path):
     assert not os.path.exists(os.path.join(str(tmp_path), "ckpt", "step_00000002"))
 
 
+def test_transfer_gate_smoke(tmp_path):
+    """--transfer runs the full int8 pipeline (QuantizedEncoder ->
+    chained-int8 generator, the model-12 tester wiring) against the
+    all-float one and reports the encoder embedding rel-error."""
+    import pytest
+    import int8_quality as q
+
+    tiny = dict(img_H=32, img_W=16, batch_size=4, conv_hidden_num=16,
+                z_num=16, compute_dtype="float32")
+    q.train(3, str(tmp_path), pool_size=2, cfg_overrides=tiny)
+    r = q.check(str(tmp_path), n_batches=2, transfer=True,
+                cfg_overrides=tiny)
+    assert 0.0 <= r["ssim_int8_float"] <= 1.0
+    assert 0.0 <= r["emb_rel_err"] < 1.0  # int8 encoder tracks float
+    assert abs(r["delta"]) < 0.5
+    assert q.gate(str(tmp_path), max_delta=0.5, min_ssim=0.0,
+                  transfer=True, cfg_overrides=tiny) is True
+
+    # no int8 encoder exists at 256 — the flag must fail loudly there
+    with pytest.raises(AssertionError, match="256"):
+        q.check(str(tmp_path), n_batches=2, transfer=True,
+                cfg_overrides=dict(tiny, img_H=256, img_W=256))
+
+
 def test_gen_repeat_df256_shape():
     """--size=256 must check the generator at repeat_num-1 (the DF
     model-101 generator depth, trainer_256.py:597) and keep quality
